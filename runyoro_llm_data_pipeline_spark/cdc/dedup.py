@@ -1,0 +1,114 @@
+"""Latest-wins CDC collapse per key — the engine's W3 operator.
+
+The reference never reconciles versions (it only skips whole duplicate
+sources, ``scripts/orchestrator.py:88-101``); the target's core semantic is
+sequence-ordered collapse: for each ``(conv_id, turn_idx)`` the event with
+the greatest ``(event_ts, lsn)`` wins, and exact duplicate deliveries
+(same ``lsn``) are idempotent.
+
+Three implementations, fastest first:
+
+1. ``collapse_latest_wins`` — ``groupBy(key).agg(max_by(payload, order))``.
+   Hash aggregation gets **map-side partial aggregation** for free, so a
+   hot key with a million duplicate deliveries is collapsed inside each
+   input partition before the shuffle — the shuffle carries at most
+   ``num_partitions`` rows per key regardless of skew. This is the default.
+2. ``collapse_latest_wins_window`` — ``row_number() over (partition by key
+   order by order desc) = 1``. Semantically identical; shuffles every event
+   and sorts per key, so it is kept as the cross-check oracle (it is also
+   the formulation DuckDB runs in the driver's correctness gate).
+3. ``collapse_latest_wins_salted`` — explicit two-phase salted variant:
+   pre-aggregate on ``(key, salt)`` then re-aggregate on ``key``. With
+   max_by the unsalted form already partial-aggregates, but the salted form
+   documents the general skew recipe (SURVEY.md §4.1) and is exercised by
+   the equivalence tests.
+
+Payload columns are discovered from the frame (everything that is not a
+key/order/op/batch column), so additively-evolved columns flow through
+without code changes. All variants return one row per key with ``__op``
+('delete' survives so the merge stage can drop the key) plus
+``__max_event_ts``/``__max_lsn`` for lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from runyoro_llm_data_pipeline_spark.cdc.events import KEY_COLS
+
+_NON_PAYLOAD = {"op", "event_ts", "lsn", "batch_id"}
+def _ord():
+    return F.struct(F.col("event_ts"), F.col("lsn"))
+
+
+def payload_columns(df: DataFrame, keys=KEY_COLS) -> list[str]:
+    return [
+        c
+        for c in df.columns
+        if c not in _NON_PAYLOAD and c not in keys and not c.startswith("__")
+    ]
+
+
+def _winner_struct(payload: list[str]):
+    return F.struct(*[F.col(c) for c in payload], F.col("op").alias("__op"))
+
+
+def _unpack(df: DataFrame, keys, payload: list[str]) -> DataFrame:
+    return df.select(
+        *keys,
+        *[F.col(f"__w.{c}").alias(c) for c in payload],
+        F.col("__w.__op").alias("__op"),
+        "__max_event_ts",
+        "__max_lsn",
+    )
+
+
+def collapse_latest_wins(events: DataFrame, keys=KEY_COLS) -> DataFrame:
+    payload = payload_columns(events, keys)
+    agg = events.groupBy(*keys).agg(
+        F.max_by(_winner_struct(payload), _ord()).alias("__w"),
+        F.max("event_ts").alias("__max_event_ts"),
+        F.max("lsn").alias("__max_lsn"),
+    )
+    return _unpack(agg, keys, payload)
+
+
+def collapse_latest_wins_window(events: DataFrame, keys=KEY_COLS) -> DataFrame:
+    payload = payload_columns(events, keys)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("event_ts").desc(), F.col("lsn").desc()
+    )
+    wmax = Window.partitionBy(*keys)
+    ranked = events.select(
+        *keys,
+        *payload,
+        F.col("op").alias("__op"),
+        F.row_number().over(w).alias("__rn"),
+        F.max("event_ts").over(wmax).alias("__max_event_ts"),
+        F.max("lsn").over(wmax).alias("__max_lsn"),
+    )
+    return ranked.filter(F.col("__rn") == 1).drop("__rn")
+
+
+def collapse_latest_wins_salted(
+    events: DataFrame, keys=KEY_COLS, n_salt: int = 32
+) -> DataFrame:
+    """Two-phase skew-tamed collapse: salt only the *pre-dedup shuffle*,
+    never the key identity (SURVEY.md §7 hard part (c))."""
+    payload = payload_columns(events, keys)
+    salted = events.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col("lsn")), F.lit(n_salt)).cast("int")
+    )
+    phase1 = salted.groupBy(*keys, "__salt").agg(
+        F.max_by(_winner_struct(payload), _ord()).alias("__w1"),
+        F.max(_ord()).alias("__ord"),
+        F.max("event_ts").alias("__met"),
+        F.max("lsn").alias("__ml"),
+    )
+    phase2 = phase1.groupBy(*keys).agg(
+        F.max_by(F.col("__w1"), F.col("__ord")).alias("__w"),
+        F.max("__met").alias("__max_event_ts"),
+        F.max("__ml").alias("__max_lsn"),
+    )
+    return _unpack(phase2, keys, payload)

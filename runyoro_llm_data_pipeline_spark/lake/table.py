@@ -1,0 +1,335 @@
+"""Snapshot-atomic lake table (Iceberg-style semantics, zero extra jars).
+
+The reference's durability story is a single JSON ledger read fully, appended,
+and atomically rewritten per ingest run (``scripts/orchestrator.py:34-40,52-61,
+184-186``) — that one file is simultaneously its commit log, lineage table and
+dedup index. This module generalizes it into a real table format:
+
+* **data** lives in immutable Parquet files, grouped by a hash bucket of the
+  record key (``bucket = pmod(xxhash64(conv_id), num_buckets)``) so a CDC
+  batch only rewrites the buckets it touches (copy-on-write MERGE with
+  partition pruning by construction);
+* **snapshots** are JSON manifests (schema + file list + summary properties +
+  applied-offset map) committed by atomic ``os.rename`` of a version pointer —
+  the same all-or-nothing property as the reference's ledger rewrite, and the
+  same mechanism Iceberg's HadoopTableOperations uses for file-system
+  catalogs;
+* **exactly-once** falls out: applied batch offsets are recorded in the same
+  snapshot that contains their data, so a crash before the pointer swap
+  leaves both invisible and replay is safe (idempotent, cf.
+  ``scripts/orchestrator.py:88-101`` duplicate-skip);
+* **schema evolution** is additive: each snapshot carries the full Spark
+  schema; readers pass it explicitly so older files missing a column yield
+  nulls (generalizing the ledger's dynamic additive entry shapes,
+  ``processed_data/processed_data_metadata.json``).
+
+Scale notes (100 TB / 1000 executors): the manifest lists O(num_buckets ×
+files-per-bucket) entries handled driver-side — same order as Iceberg's
+manifest lists; data access is executor-side Parquet scans of only the
+pruned file set. Single-writer commit (one streaming/batch driver) is
+assumed, as in any single-sink CDC apply job.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+VERSION_POINTER = "_VERSION"
+SNAP_DIR = "snapshots"
+DATA_DIR = "data"
+LINEAGE_DIR = "lineage"
+
+# internal CDC version/tombstone columns stored in data files, hidden from
+# public reads (deletes persist as tombstones so batch application is
+# commutative — see lake/merge.py)
+VERSION_TS = "_cdc_event_ts"
+VERSION_LSN = "_cdc_lsn"
+DELETED = "_cdc_deleted"
+INTERNAL_COLS = (VERSION_TS, VERSION_LSN, DELETED)
+
+
+@dataclass
+class Snapshot:
+    version: int
+    parent: int | None
+    schema_json: dict[str, Any]
+    files: list[dict[str, Any]]  # {path(rel), bucket, rows}
+    applied: dict[str, list[int]]  # batch_id(str) -> [min_lsn, max_lsn]
+    summary: dict[str, Any] = field(default_factory=dict)
+    lineage_files: list[str] = field(default_factory=list)
+
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.schema_json)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "parent": self.parent,
+                "schema": self.schema_json,
+                "files": self.files,
+                "applied": self.applied,
+                "summary": self.summary,
+                "lineage_files": self.lineage_files,
+            },
+            indent=1,
+        )
+
+    @staticmethod
+    def from_json(raw: str) -> "Snapshot":
+        d = json.loads(raw)
+        return Snapshot(
+            version=d["version"],
+            parent=d.get("parent"),
+            schema_json=d["schema"],
+            files=d["files"],
+            applied=d.get("applied", {}),
+            summary=d.get("summary", {}),
+            lineage_files=d.get("lineage_files", []),
+        )
+
+
+def _atomic_write(path: str, content: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        fh.write(content)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, path)  # POSIX atomic — the commit point
+
+
+class LakeTable:
+    """A bucketed, snapshot-versioned Parquet table with atomic commits."""
+
+    def __init__(self, path: str, num_buckets: int = 16):
+        self.path = os.path.abspath(path)
+        self.num_buckets = num_buckets
+
+    # ---------------------------------------------------------------- setup
+    @staticmethod
+    def create(path: str, schema: T.StructType, num_buckets: int = 16) -> "LakeTable":
+        os.makedirs(os.path.join(path, SNAP_DIR), exist_ok=True)
+        os.makedirs(os.path.join(path, DATA_DIR), exist_ok=True)
+        os.makedirs(os.path.join(path, LINEAGE_DIR), exist_ok=True)
+        t = LakeTable(path, num_buckets)
+        if t.current_version() is None:
+            snap = Snapshot(
+                version=0,
+                parent=None,
+                schema_json=schema.jsonValue(),
+                files=[],
+                applied={},
+                summary={"num_buckets": num_buckets},
+            )
+            t._write_snapshot(snap)
+        else:
+            t.num_buckets = t.current().summary.get("num_buckets", num_buckets)
+        return t
+
+    @staticmethod
+    def load(path: str) -> "LakeTable":
+        t = LakeTable(path)
+        cur = t.current()
+        t.num_buckets = cur.summary.get("num_buckets", 16)
+        return t
+
+    # ------------------------------------------------------------ snapshots
+    def current_version(self) -> int | None:
+        ptr = os.path.join(self.path, VERSION_POINTER)
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as fh:
+            return int(fh.read().strip())
+
+    def snapshot(self, version: int) -> Snapshot:
+        with open(os.path.join(self.path, SNAP_DIR, f"v{version:08d}.json")) as fh:
+            return Snapshot.from_json(fh.read())
+
+    def current(self) -> Snapshot:
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.path}")
+        return self.snapshot(v)
+
+    def history(self) -> list[Snapshot]:
+        out, v = [], self.current_version()
+        while v is not None:
+            s = self.snapshot(v)
+            out.append(s)
+            v = s.parent
+        return list(reversed(out))
+
+    def _write_snapshot(self, snap: Snapshot, update_pointer: bool = True) -> None:
+        snap_path = os.path.join(self.path, SNAP_DIR, f"v{snap.version:08d}.json")
+        _atomic_write(snap_path, snap.to_json())
+        if update_pointer:
+            _atomic_write(
+                os.path.join(self.path, VERSION_POINTER), str(snap.version)
+            )
+
+    # ----------------------------------------------------------------- read
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        include_internal: bool = False,
+    ) -> DataFrame:
+        """Read the table at a snapshot (time travel). Explicit schema makes
+        older files missing newly-added columns yield nulls. By default the
+        public view is returned: tombstones filtered, internal CDC version
+        columns dropped."""
+        snap = self.current() if version is None else self.snapshot(version)
+        schema = snap.schema()
+        paths = [os.path.join(self.path, f["path"]) for f in snap.files]
+        if not paths:
+            df = spark.createDataFrame([], schema)
+        else:
+            df = spark.read.schema(schema).parquet(*paths)
+        if include_internal or DELETED not in df.columns:
+            return df
+        return df.filter(~F.coalesce(F.col(DELETED), F.lit(False))).drop(
+            *[c for c in INTERNAL_COLS if c in df.columns]
+        )
+
+    def read_buckets(
+        self, spark: SparkSession, buckets: set[int], snap: Snapshot
+    ) -> DataFrame:
+        schema = snap.schema()
+        paths = [
+            os.path.join(self.path, f["path"])
+            for f in snap.files
+            if f["bucket"] in buckets
+        ]
+        if not paths:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*paths)
+
+    def read_lineage(self, spark: SparkSession) -> DataFrame:
+        snap = self.current()
+        paths = [os.path.join(self.path, p) for p in snap.lineage_files]
+        if not paths:
+            return spark.createDataFrame([], LINEAGE_SCHEMA)
+        return spark.read.schema(LINEAGE_SCHEMA).parquet(*paths)
+
+    # ---------------------------------------------------------------- write
+    def bucket_expr(self, key_col: str = "conv_id"):
+        return F.pmod(F.xxhash64(F.col(key_col)), F.lit(self.num_buckets)).cast("int")
+
+    def write_data_files(
+        self, df: DataFrame, version: int, buckets_hint: int | None = None
+    ) -> list[dict[str, Any]]:
+        """Write ``df`` (must contain ``__bucket``) into this snapshot's data
+        dir, one Parquet directory partition per bucket; returns manifest
+        entries. Uses ``partitionBy`` so file→bucket is structural."""
+        rel_dir = os.path.join(DATA_DIR, f"v{version:08d}")
+        out_dir = os.path.join(self.path, rel_dir)
+        n_out = buckets_hint or self.num_buckets
+        (
+            df.repartition(n_out, "__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(out_dir)
+        )
+        entries: list[dict[str, Any]] = []
+        for bdir in sorted(os.listdir(out_dir)):
+            if not bdir.startswith("__bucket="):
+                continue
+            bucket = int(bdir.split("=", 1)[1])
+            for fn in sorted(os.listdir(os.path.join(out_dir, bdir))):
+                if fn.endswith(".parquet"):
+                    entries.append(
+                        {"path": os.path.join(rel_dir, bdir, fn), "bucket": bucket}
+                    )
+        return entries
+
+    def commit(
+        self,
+        new_files: list[dict[str, Any]],
+        carried_files: list[dict[str, Any]],
+        schema: T.StructType,
+        applied_update: dict[str, list[int]],
+        summary_update: dict[str, Any] | None = None,
+        lineage_rel_path: str | None = None,
+        parent: Snapshot | None = None,
+    ) -> Snapshot:
+        base = parent if parent is not None else self.current()
+        applied = dict(base.applied)
+        applied.update(applied_update)
+        summary = dict(base.summary)
+        summary.update(summary_update or {})
+        lineage_files = list(base.lineage_files)
+        if lineage_rel_path:
+            lineage_files.append(lineage_rel_path)
+        snap = Snapshot(
+            version=base.version + 1,
+            parent=base.version,
+            schema_json=schema.jsonValue(),
+            files=carried_files + new_files,
+            applied=applied,
+            summary=summary,
+            lineage_files=lineage_files,
+        )
+        self._write_snapshot(snap)
+        return snap
+
+    # -------------------------------------------------------------- cleanup
+    def expire_snapshots(self, keep_last: int = 2) -> int:
+        """Delete snapshot manifests (and data files referenced by no kept
+        snapshot) older than the last ``keep_last`` in the commit chain —
+        the reference keeps 2 checkpoints (``scripts/train_llm.py:265``)."""
+        chain = self.history()
+        if len(chain) <= keep_last:
+            return 0
+        kept = chain[-keep_last:]
+        dropped = chain[:-keep_last]
+        live = {f["path"] for s in kept for f in s.files}
+        live |= {p for s in kept for p in s.lineage_files}
+        removed = 0
+        for s in dropped:
+            for f in s.files:
+                if f["path"] not in live:
+                    fp = os.path.join(self.path, f["path"])
+                    if os.path.exists(fp):
+                        os.remove(fp)
+                        removed += 1
+        # re-parent the oldest kept snapshot so history() stops there
+        # (must NOT move the version pointer — current stays current)
+        oldest = kept[0]
+        oldest.parent = None
+        self._write_snapshot(oldest, update_pointer=False)
+        for s in dropped:
+            sp = os.path.join(self.path, SNAP_DIR, f"v{s.version:08d}.json")
+            if os.path.exists(sp):
+                os.remove(sp)
+        # prune empty data dirs
+        ddir = os.path.join(self.path, DATA_DIR)
+        for sub in os.listdir(ddir):
+            full = os.path.join(ddir, sub)
+            if os.path.isdir(full) and not any(
+                fn.endswith(".parquet")
+                for _, _, fns in os.walk(full)
+                for fn in fns
+            ):
+                shutil.rmtree(full)
+        return removed
+
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.LongType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("min_lsn", T.LongType(), True),
+        T.StructField("max_lsn", T.LongType(), True),
+        T.StructField("row_count", T.LongType(), False),
+        T.StructField("snapshot_version", T.LongType(), False),
+    ]
+)
