@@ -1,38 +1,455 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` replays a deterministic CDC change log end-to-end through
+the engine (validate → normalize → latest-wins collapse → bucket-pruned
+COW merge → atomic snapshot commit) and returns the final transcript
+table — the flagship path of SURVEY.md §7 Phase 1-3.
+
+``queries()`` / ``oracle_sql()`` cover the operator inventory of
+SURVEY.md §2 plus the training-data-curation suite (dedup, similarity
+search, text analysis) over the driver's tables at ``sf_dir``. Every
+aggregate is decimal-or-integer (or rounded at the edge) so Spark and the
+DuckDB oracle match value-for-value, and every computed column is aliased
+identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from runyoro_llm_data_pipeline_spark.cdc.dedup import (  # noqa: E402
+    collapse_latest_wins,
+    collapse_latest_wins_salted,
+)
+from runyoro_llm_data_pipeline_spark.operators import (  # noqa: E402
+    dedup as dd,
+    relational as rel,
+    similarity as sim,
+    textstats as tx,
+)
+from runyoro_llm_data_pipeline_spark.operators.sessions import (  # noqa: E402
+    enumerate_turns,
+    session_stats,
+)
+from runyoro_llm_data_pipeline_spark.operators.text import (  # noqa: E402
+    clean_and_preprocess_text_col,
+)
 
 
+# --------------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize a deterministic transcript CDC log (insert /
+    update / delete / upsert, duplicate deliveries, mid-stream schema
+    evolution, hot-key skew), replay it through the engine into a lake
+    table, and return the committed final state."""
+    from runyoro_llm_data_pipeline_spark.cdc.generator import (
+        gen_change_log,
+        write_batch_files,
+    )
+    from runyoro_llm_data_pipeline_spark.cdc.ingest import CdcIngest
+
+    work = tempfile.mkdtemp(prefix="cdc_entry_")
+    batch_dir = os.path.join(work, "log")
+    events, _ = gen_change_log(
+        spark, n_turns=600, n_convs=30, n_batches=4, tool_from_batch=2
+    )
+    write_batch_files(events, batch_dir, tool_from_batch=2)
+    ing = CdcIngest(os.path.join(work, "table"), batch_dir, num_buckets=8)
+    ing.run(spark)
+    return ing.table().read(spark).orderBy("conv_id", "turn_idx")
+
+
+# ------------------------------------------------------------------- queries
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events_as_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the events table onto the CDC event shape: key=user_id,
+    version order=(ts, event_id); original ts/event_id are duplicated into
+    the payload so the winner's own values survive the collapse."""
+    return _ev(spark, sf_dir).select(
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("props"),
+        F.col("ts").alias("src_ts"),
+        F.col("event_id").alias("src_event_id"),
+        F.col("ts").alias("event_ts"),
+        F.col("event_id").alias("lsn"),
+        F.lit("upsert").alias("op"),
+    )
+
+
+def _latest_out(collapsed: DataFrame) -> DataFrame:
+    return collapsed.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("props").alias("last_props"),
+        F.col("src_ts").alias("last_ts"),
+        F.col("src_event_id").alias("last_event_id"),
+    )
+
+
+def q_cdc_latest_wins(spark, sf_dir):
+    return _latest_out(
+        collapse_latest_wins(_events_as_cdc(spark, sf_dir), keys=("user_id",))
+    )
+
+
+def q_cdc_latest_wins_salted(spark, sf_dir):
+    return _latest_out(
+        collapse_latest_wins_salted(
+            _events_as_cdc(spark, sf_dir), keys=("user_id",), n_salt=16
+        )
+    )
+
+
+def q_turn_enumeration(spark, sf_dir):
+    return enumerate_turns(_ev(spark, sf_dir)).select(
+        "event_id", "user_id", "turn_idx"
+    )
+
+
+def q_sessionization(spark, sf_dir):
+    return session_stats(_ev(spark, sf_dir), gap_seconds=1800)
+
+
+def q_text_clean_p2(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", clean_and_preprocess_text_col(F.col("text")).alias("clean_text")
+    )
+
+
+def q_json_props(spark, sf_dir):
+    return _ev(spark, sf_dir).select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("props_k"),
+    )
+
+
+def q_knn_lsh(spark, sf_dir):
+    return sim.cosine_topk_lsh(_emb(spark, sf_dir), query_vec_id=0, k=10)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # CDC core (W3 latest-wins, salted skew variant, ordered ops)
+    "cdc_latest_wins": q_cdc_latest_wins,
+    "cdc_latest_wins_salted": q_cdc_latest_wins_salted,
+    "turn_enumeration": q_turn_enumeration,
+    "sessionization": q_sessionization,
+    # relational (J1/J2 joins, decimal aggregates, A2/A4)
+    "q1_pricing_summary": rel.q1_pricing_summary,
+    "segment_revenue": rel.segment_revenue,
+    "shipping_priority": rel.shipping_priority,
+    "nation_order_rollup": rel.nation_order_rollup,
+    "anti_join_users_without_errors": rel.users_without_errors,
+    "quality_gate": rel.quality_gate,
+    "listing_hash": rel.listing_hash,
+    # text analysis (P2, P4-P6, token/quality/lang/fingerprint)
+    "text_clean_p2": q_text_clean_p2,
+    "corpus_filter": tx.corpus_filter,
+    "doc_stats": lambda s, d: tx.doc_stats(_docs(s, d)),
+    "lang_id": lambda s, d: tx.lang_id_heuristic(_docs(s, d)),
+    "fingerprint": lambda s, d: tx.fingerprint(_docs(s, d)),
+    "json_props": q_json_props,
+    # dedup suite
+    "dedup_exact": lambda s, d: dd.exact_dedup(_docs(s, d)),
+    "ngram_jaccard_pairs": lambda s, d: dd.ngram_jaccard_pairs(_docs(s, d)),
+    "minhash_lsh_candidates": lambda s, d: dd.minhash_lsh_candidates(_docs(s, d)),
+    "simhash": lambda s, d: dd.simhash(_docs(s, d)),
+    # similarity search
+    "knn_bruteforce": lambda s, d: sim.cosine_topk_bruteforce(
+        _emb(s, d), query_vec_id=0, k=10
+    ),
+    "knn_lsh": q_knn_lsh,  # approximate — rows-only check (no oracle)
+    "label_centroids": sim.pairwise_label_centroids,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return dict(QUERIES)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# -------------------------------------------------------------------- oracle
+_TOKS = (
+    "SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),"
+    " '\\s+') AS w FROM documents"
+)
+
+_SHINGLES = f"""
+toks AS ({_TOKS}),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(w) >= 3 THEN array_to_string(w[u.i : u.i + 2], ' ')
+              ELSE array_to_string(w, ' ') END AS shingle
+  FROM toks,
+       UNNEST(CASE WHEN len(w) >= 3 THEN range(1, len(w) - 1)
+                   ELSE [CAST(1 AS BIGINT)] END) AS u(i)
+)
+"""
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    votes = ", ".join(
+        "SUM(CASE WHEN substr(h, %d, 1) IN ('8','9','a','b','c','d','e','f')"
+        " THEN 1 ELSE -1 END) AS b%d" % (j + 1, j) for j in range(bits)
+    )
+    concat = " || ".join(
+        f"CASE WHEN b{j} >= 0 THEN '1' ELSE '0' END" for j in range(bits)
+    )
+    return f"""
+WITH toks AS ({_TOKS}),
+tok AS (SELECT doc_id, unnest(w) AS token FROM toks),
+hashed AS (SELECT doc_id, md5(token) AS h FROM tok),
+agg AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+SELECT doc_id, {concat} AS simhash FROM agg
+"""
+
+
+ORACLES: dict[str, str] = {
+    "cdc_latest_wins": """
+SELECT user_id,
+       event_type AS last_event_type,
+       value      AS last_value,
+       props      AS last_props,
+       ts         AS last_ts,
+       event_id   AS last_event_id
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+""",
+    "turn_enumeration": """
+SELECT event_id, user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+            AS INTEGER) AS turn_idx
+FROM events
+""",
+    "sessionization": """
+WITH g AS (
+  SELECT user_id, ts, epoch(date_trunc('second', ts)) AS es,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(date_trunc('second', ts))
+                      - epoch(date_trunc('second', lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events,
+       CAST(MAX(es) - MIN(es) AS BIGINT) AS span_seconds
+FROM g GROUP BY user_id
+""",
+    "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,4))))
+            AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    "segment_revenue": """
+SELECT c_mktsegment,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    "shipping_priority": """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,4))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    "nation_order_rollup": """
+SELECT r_name, n_name, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+    "anti_join_users_without_errors": """
+SELECT user_id, COUNT(*) AS n_events
+FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM events x
+                  WHERE x.user_id = e.user_id AND x.event_type = 'error')
+GROUP BY user_id
+""",
+    "quality_gate": """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(SUM(CASE WHEN isnan(value) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+       CAST(SUM(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpos
+FROM events GROUP BY event_type
+""",
+    "listing_hash": """
+SELECT source,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY CAST(doc_id AS VARCHAR))) AS listing_md5,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY source
+""",
+    "text_clean_p2": """
+SELECT doc_id,
+  regexp_replace(
+    replace(replace(
+      regexp_replace(
+        replace(replace(replace(text, '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+        '[^\\w\\s.,?!''’\\-–—]', '', 'g'),
+      chr(9), ' '), chr(13) || chr(10), chr(10)),
+    '^\\s+|\\s+$', '', 'g') AS clean_text
+FROM documents
+""",
+    "corpus_filter": """
+SELECT doc_id, lang, source, CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents
+WHERE text IS NOT NULL
+  AND length(regexp_replace(text, '\\s', '', 'g')) > 0
+  AND length(text) > 10
+""",
+    "doc_stats": """
+WITH toks AS (SELECT doc_id, text, string_split_regex(
+                regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS w
+              FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(w, t -> list_contains(
+            ['the','a','and','of','to','in','is','it'], lower(t)))) AS BIGINT)
+         AS n_stopwords,
+       CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS BIGINT) AS n_punct,
+       CAST(COALESCE(list_max(list_transform(w, t -> length(t))), 0) AS BIGINT)
+         AS max_token_len
+FROM toks
+""",
+    "lang_id": """
+WITH toks AS (SELECT doc_id, string_split_regex(
+                regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS w
+              FROM documents),
+hits AS (SELECT doc_id, len(list_distinct(list_filter(w, t -> list_contains(
+           ['the','a','and','of','to','in','is','it'], lower(t))))) AS nh
+         FROM toks)
+SELECT doc_id,
+       CASE WHEN nh >= 2 THEN 'en' ELSE 'unknown' END AS predicted_lang,
+       CAST(nh AS BIGINT) AS n_distinct_stopwords
+FROM hits
+""",
+    "fingerprint": """
+WITH toks AS (SELECT doc_id, string_split_regex(
+                regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS w
+              FROM documents)
+SELECT doc_id,
+       md5(lower(array_to_string(w, ' '))) AS fingerprint,
+       CAST(length(lower(array_to_string(w, ' '))) AS BIGINT) AS canon_len
+FROM toks
+""",
+    "json_props": """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+FROM events
+""",
+    "dedup_exact": """
+SELECT md5(text) AS text_md5, MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_dups
+FROM documents GROUP BY md5(text)
+""",
+    "ngram_jaccard_pairs": f"""
+WITH {_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= 2
+)
+SELECT doc_a, doc_b, n_common,
+       sa.n_sh AS n_a, sb.n_sh AS n_b
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 5 * n_common >= 1 * (sa.n_sh + sb.n_sh - n_common)
+""",
+    "minhash_lsh_candidates": f"""
+WITH {_SHINGLES},
+mh AS (
+  SELECT doc_id, u.p AS p,
+         MIN(md5(CAST(u.p AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM sh, UNNEST(range(0, 12)) AS u(p)
+  GROUP BY doc_id, u.p
+),
+band AS (
+  SELECT doc_id, CAST(p // 2 AS INTEGER) AS band,
+         string_agg(minhash, '' ORDER BY minhash) AS band_key
+  FROM mh GROUP BY doc_id, CAST(p // 2 AS INTEGER)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM band a JOIN band b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+""",
+    "simhash": _simhash_sql(16),
+    "knn_bruteforce": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(v, qv) /
+             (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)
+         AS cosine
+FROM e, q
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+""",
+    "label_centroids": """
+WITH flat AS (
+  SELECT label,
+         unnest(range(1, len(embedding) + 1)) AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+),
+cent AS (SELECT label, dim, AVG(x) AS mean_x, COUNT(*) AS n
+         FROM flat GROUP BY label, dim)
+SELECT label, round(sqrt(SUM(mean_x * mean_x)), 6) AS centroid_norm,
+       MAX(n) AS n_vectors
+FROM cent GROUP BY label
+""",
+}
+# salted variant shares its oracle with the unsalted collapse
+ORACLES["cdc_latest_wins_salted"] = ORACLES["cdc_latest_wins"]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

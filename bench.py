@@ -1,0 +1,139 @@
+"""Bench harness — headline queries at $SPARK_GRAFT_SF_DIR plus CDC apply
+throughput, printed as ONE JSON line.
+
+Per the driver contract: runs on ``local[$SPARK_GRAFT_CPUS]`` and prints
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+Extra keys: ``cdc`` (events/sec of the end-to-end apply path — the
+BASELINE.json headline metric) and ``rows`` per query for sanity.
+
+Scaling-efficiency evidence (local[8] vs local[32] per BASELINE.md) lives
+in ``bench_scaling.py`` / ``BENCH.md``; this file is the per-round loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from runyoro_llm_data_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline subset: every operator family, weighted to the heavy ones
+HEADLINE = [
+    "cdc_latest_wins",
+    "cdc_latest_wins_salted",
+    "turn_enumeration",
+    "sessionization",
+    "q1_pricing_summary",
+    "shipping_priority",
+    "nation_order_rollup",
+    "anti_join_users_without_errors",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_candidates",
+    "simhash",
+    "knn_bruteforce",
+    "label_centroids",
+    "fingerprint",
+    "doc_stats",
+]
+
+
+def bench_queries(spark) -> tuple[dict[str, float], dict[str, int]]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        # warm the input cache path once (file listing etc.), time the 2nd run
+        t0 = time.perf_counter()
+        n = fn(spark, SF_DIR).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = n
+    return times, rows
+
+
+def bench_cdc(spark, n_turns: int = 150_000) -> dict:
+    """End-to-end CDC apply throughput: synthesize a deterministic change
+    log (~1.7 events/turn: stale versions, duplicate deliveries, deletes,
+    ghosts, hot-key skew), materialize it, then time ingest → committed
+    snapshot. events/sec counts *log events applied end-to-end*."""
+    from pyspark.sql import functions as F
+
+    from runyoro_llm_data_pipeline_spark.cdc.generator import (
+        gen_change_log,
+        write_batch_files,
+    )
+    from runyoro_llm_data_pipeline_spark.cdc.ingest import CdcIngest
+
+    work = tempfile.mkdtemp(prefix="cdc_bench_")
+    try:
+        log_dir = os.path.join(work, "log")
+        events, _ = gen_change_log(
+            spark, n_turns=n_turns, n_convs=max(n_turns // 20, 10), n_batches=4,
+            tool_from_batch=2,
+        )
+        write_batch_files(events, log_dir, tool_from_batch=2)
+        n_events = sum(
+            spark.read.parquet(p).count()
+            for _, p in sorted(
+                (int(d.split("_")[1]), os.path.join(log_dir, d))
+                for d in os.listdir(log_dir)
+            )
+        )
+        ing = CdcIngest(os.path.join(work, "table"), log_dir, num_buckets=32)
+        t0 = time.perf_counter()
+        results = ing.run(spark)
+        dt = time.perf_counter() - t0
+        final_rows = ing.table().read(spark).count()
+        assert all(r["status"] == "applied" for r in results)
+        return {
+            "events": n_events,
+            "sec": round(dt, 3),
+            "events_per_sec": round(n_events / dt, 1),
+            "final_rows": final_rows,
+            "batches": len(results),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 8),
+    )
+    t_all = time.perf_counter()
+    qtimes, qrows = bench_queries(spark)
+    cdc = bench_cdc(spark)
+    total = round(time.perf_counter() - t_all, 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_plus_cdc_apply",
+                "value": total,
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cdc": cdc,
+                "rows": qrows,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,192 @@
+"""Deduplication operators for training-data curation: exact, n-gram
+Jaccard, MinHash+LSH, SimHash.
+
+The reference dedups only whole sources by content hash
+(``scripts/orchestrator.py:63-101``); a 100 TB corpus additionally needs
+near-duplicate detection. All variants here share design rules:
+
+* **hashes are md5 hex strings** — identical bytes in any engine, so the
+  DuckDB oracle matches exactly and no engine-specific 64-bit hash leaks
+  into results;
+* **no cross-product**: candidate generation is always equi-join on a
+  bucket key (exact hash, shingle, or LSH band), never doc×doc. The
+  shingle self-join is the worst case and is bounded by shingle-frequency
+  (a stop-shingle cap can be added for adversarial corpora);
+* pair output is canonicalized ``doc_a < doc_b`` and aggregated with
+  integer arithmetic only.
+
+Scale notes: exact dedup is one hash aggregate (map-side combined).
+MinHash/LSH shuffles ``docs × n_perm`` tiny rows then ``docs × n_bands``
+band keys — linear in corpus size; candidate verification re-joins only
+the candidate pairs. SimHash is a per-doc projection (no shuffle at all)
+usable for blocked Hamming-distance search downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from runyoro_llm_data_pipeline_spark.operators.textstats import tokens_col
+
+SHINGLE_K = 3
+
+
+def shingles_col(text, k: int = SHINGLE_K):
+    """Distinct k-word shingles of the text (array<string>); docs shorter
+    than k words yield their full token join (1 shingle) so no doc is
+    silently dropped."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    full = F.array(F.concat_ws(" ", toks))
+    sh = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.array_distinct(F.when(n >= k, sh).otherwise(full))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by md5(text): canonical doc (min doc_id) and
+    group size. One hash aggregate; the canonical-pick is `min` (not
+    row_number) so it partial-aggregates map-side."""
+    h = F.md5(F.col(text_col))
+    return (
+        docs.select(F.col("doc_id"), h.alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(shingles_col(F.col(text_col), k)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+    min_common: int = 2,
+    jaccard_num: int = 1,
+    jaccard_den: int = 5,
+) -> DataFrame:
+    """All doc pairs with shingle-Jaccard ≥ jaccard_num/jaccard_den,
+    via shingle-bucket self-join (no cross product). The threshold test is
+    integer cross-multiplication — zero float drift:
+    ``den*common ≥ num*(|A|+|B|-common)``."""
+    sh = doc_shingles(docs, text_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.lit(jaccard_den) * F.col("n_common")
+            >= F.lit(jaccard_num) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", n_perm: int = 12, k: int = SHINGLE_K
+) -> DataFrame:
+    """MinHash: permutation i's hash of a shingle is md5(i || '|' || shingle)
+    (a hex string — min is lexicographic, identical in any engine);
+    signature element i = min over the doc's shingles. Output: one row per
+    (doc_id, perm, minhash)."""
+    sh = doc_shingles(docs, text_col, k)
+    perms = F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("perm")
+    expanded = sh.select("doc_id", "shingle", perms)
+    return (
+        expanded.groupBy("doc_id", "perm")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("shingle")))
+            ).alias("minhash")
+        )
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_perm: int = 12,
+    band_size: int = 2,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """LSH banding: group the n_perm signature into bands of ``band_size``;
+    band key = concatenated minhashes; docs sharing any band key are
+    candidate near-duplicates. Returns distinct (doc_a < doc_b) pairs.
+    Verification (exact Jaccard on candidates only) composes with
+    ``ngram_jaccard_pairs`` semantics downstream."""
+    sig = minhash_signatures(docs, text_col, n_perm, k)
+    banded = (
+        sig.withColumn("band", (F.col("perm") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws("", F.array_sort(F.collect_list("minhash"))).alias("band_key")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+SIMHASH_BITS = 16
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash over tokens with engine-portable bit source: bit j of a
+    token's hash is the MSB of hex digit j of md5(token) (digit ≥ '8').
+    The doc's simhash bit j is the majority vote over its tokens; output is
+    a ``bits``-char '0'/'1' string. Pure projection + one aggregate."""
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("token")
+    ).withColumn("h", F.md5(F.col("token")))
+    votes = [
+        F.sum(
+            F.when(
+                F.substring("h", j + 1, 1).isin(*"89abcdef"), F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    bit_str = F.concat(
+        *[F.when(F.col(f"b{j}") >= 0, F.lit("1")).otherwise(F.lit("0")) for j in range(bits)]
+    )
+    return agg.select("doc_id", bit_str.alias("simhash"))
+
+
+def dedup_keep_canonical(
+    docs: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Resolve near-dup pairs to a keep-set: drop every doc that appears as
+    ``doc_b`` of a pair with a smaller canonical ``doc_a`` (one union-find
+    step — sufficient when similarity is near-transitive; iterate to a
+    fixpoint for full clustering)."""
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return docs.join(drop, on="doc_id", how="left_anti")

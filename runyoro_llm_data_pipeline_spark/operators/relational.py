@@ -1,0 +1,144 @@
+"""Relational query operators over the star schema (SURVEY.md §2.3-2.6).
+
+The reference's joins are J1 (equi-join on basename,
+``scripts/audio_text_processing.py:26-49``) and J2 (anti-join vs the ledger,
+``scripts/orchestrator.py:88-101``); its aggregates are counts/hashes
+(§2.4). These generalize them onto the driver's TPC-H-ish tables, with the
+physical plan chosen deliberately:
+
+* dimension joins (`customer`, `nation`, …) are **broadcast** — no shuffle
+  of the fact side; at 100 TB the fact table streams through map tasks;
+* money aggregates run in **decimal** (exact, order-independent) and cast to
+  double at the edge, so parallel sum order can never drift from a
+  single-threaded oracle;
+* anti-joins express admission control (J2) — Catalyst picks broadcast
+  anti-join when the right side is small, shuffle-hash otherwise; AQE
+  rewrites at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, prec=18, scale=2):
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregate with all-decimal money
+    math. The scan should show PushedFilters on l_shipdate and a pruned
+    ReadSchema; the aggregate partial-combines map-side."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount", 18, 4))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 generalization: fact ⋈ broadcast(dim) + grouped decimal sum."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str, segment: str = "BUILDING") -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter broadcast into a two-fact join,
+    grouped decimal revenue, deterministic top-10 (tie-broken by key)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == segment)
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount", 18, 4))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.select("c_custkey")), orders.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def users_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 anti-join (admission-control shape): users with no 'error' event,
+    with their event counts. At CDC scale the right side is the applied-key
+    ledger; here it's the error-user set (broadcast by AQE)."""
+    ev = _t(spark, sf_dir, "events")
+    err_users = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return (
+        ev.join(err_users, on="user_id", how="left_anti")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def nation_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained broadcast dims: customer→nation→region, grouped counts."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )
+
+
+def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 generalization (NaN/validity scan, ``scripts/train_llm.py:210-224``):
+    per-event-type counts of null / NaN / non-positive values — the
+    pre-commit data-quality gate, all JVM predicates."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null"),
+        F.sum(F.isnan("value").cast("long")).alias("n_nan"),
+        F.sum((F.col("value") <= 0).cast("long")).alias("n_nonpos"),
+    )
+
+
+def listing_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — order-sensitive directory-listing hash per group
+    (``scripts/orchestrator.py:72-78``: MD5 over sorted names):
+    ``md5(concat_ws(',', sort_array(collect_list(id))))`` per source."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.md5(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.col("doc_id").cast("string")))
+            )
+        ).alias("listing_md5"),
+        F.count("*").alias("n_docs"),
+    )

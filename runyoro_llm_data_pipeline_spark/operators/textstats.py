@@ -1,0 +1,115 @@
+"""Text-analysis operators for a training-data pipeline: tokenization
+counts, quality scoring, language-ID heuristic, fingerprinting.
+
+Generalizes the reference's corpus-prep stages: line filters
+(``scripts/train_llm.py:161-162``), tokenizer corpus iteration
+(``scripts/tokenizer_utils.py:9-18``), and content hashing
+(``scripts/orchestrator.py:18-23``). Everything is a JVM column expression
+(whole-stage codegen; zero Python in the hot path) and every output is an
+integer count or a hex string — no floating-point, so the DuckDB oracle
+comparison is exact by construction.
+
+Scale: all are narrow per-row projections + one hash aggregate; they
+pipeline inside the scan stage and shuffle only the (tiny) grouped
+results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Stopword set used by the quality score and the language-ID heuristic.
+# Deliberately tiny and explicit — the point is the operator shape
+# (token-membership counting), not lexicon quality.
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+_TOKEN_SEP = r"\s+"
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text; empty text → empty array
+    (``split`` on '' yields [''], guarded here)."""
+    t = F.regexp_replace(text, r"(?U)^\s+|(?U)\s+$", "")
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, _TOKEN_SEP)
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_col(text)).cast("long")
+
+
+def stopword_count(text: Column, stopwords=EN_STOPWORDS) -> Column:
+    toks = tokens_col(text)
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t)))).cast(
+        "long"
+    )
+
+
+def punct_count(text: Column) -> Column:
+    """Count of non-word, non-space characters (punctuation/symbols)."""
+    return F.length(F.regexp_replace(text, r"(?U)[\w\s]", "")).cast("long")
+
+
+def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality counters: chars, tokens, stopwords, punctuation,
+    longest-token length. A downstream filter (e.g. keep docs with
+    stopword ratio in [x, y]) is a cheap predicate over these."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        token_count(t).alias("n_tokens"),
+        stopword_count(t).alias("n_stopwords"),
+        punct_count(t).alias("n_punct"),
+        F.coalesce(
+            F.array_max(F.transform(tokens_col(t), lambda x: F.length(x))),
+            F.lit(0),
+        ).cast("long").alias("max_token_len"),
+    )
+
+
+def lang_id_heuristic(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-presence language ID (n-gram-heuristic family): predicts
+    'en' when ≥2 distinct English stopwords occur, else 'unknown'.
+    Deterministic and SQL-expressible; a real system swaps in a trained
+    n-gram model behind the same (doc_id → predicted_lang) contract."""
+    toks = tokens_col(F.col(text_col))
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    distinct_hits = F.size(
+        F.array_distinct(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    )
+    return docs.select(
+        "doc_id",
+        F.when(distinct_hits >= 2, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+        .alias("predicted_lang"),
+        distinct_hits.cast("long").alias("n_distinct_stopwords"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the whitespace-canonicalized lowercased
+    text (A1 generalization, ``scripts/orchestrator.py:18-23``)."""
+    canon = F.lower(
+        F.concat_ws(" ", tokens_col(F.col(text_col)))
+    )
+    return docs.select(
+        "doc_id", F.md5(canon).alias("fingerprint"), F.length(canon).cast("long").alias("canon_len")
+    )
+
+
+def corpus_filter(
+    spark: SparkSession, sf_dir: str, min_len: int = 10
+) -> DataFrame:
+    """P4-P6 corpus admission: non-blank and length > min_len
+    (``scripts/train_llm.py:161-162``), pushed into the Parquet scan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return docs.filter(
+        t.isNotNull()
+        & (F.length(F.regexp_replace(t, r"(?U)\s", "")) > 0)
+        & (F.length(t) > min_len)
+    ).select("doc_id", "lang", "source", F.length(t).cast("long").alias("n_chars_actual"))

@@ -1,0 +1,82 @@
+"""Local replica of the driver's correctness gate: run every
+``__spark_entry__.queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB over the same parquet tables; compare row count, column names,
+and order-insensitive values.
+
+Kept as a test so regressions in any operator show up in ``pytest -x -q``
+before the driver does.
+"""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_norm_cell(r[i]) for i in order) for r in rows
+    )
+
+
+CASES = sorted(entrymod.queries().keys())
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_query_matches_oracle(name, spark, ddb):
+    q = entrymod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    sql = entrymod.oracle_sql().get(name)
+    if sql is None:
+        # rows-only check (approximate / non-SQL-expressible operators)
+        assert len(srows) >= 0
+        return
+    res = ddb.sql(sql)
+    dcols = res.columns
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), (
+        f"{name}: row count {len(srows)} != oracle {len(drows)}"
+    )
+    a, b = _canon(srows, scols), _canon(drows, dcols)
+    if a != b:
+        diff = [(x, y) for x, y in zip(a, b) if x != y][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
