@@ -91,7 +91,10 @@ def bench_cdc(spark, n_turns: int = 150_000) -> dict:
                 for d in os.listdir(log_dir)
             )
         )
-        ing = CdcIngest(os.path.join(work, "table"), log_dir, num_buckets=32)
+        ing = CdcIngest(
+            os.path.join(work, "table"), log_dir, num_buckets=32,
+            mode="mor", compact_max_files=8,
+        )
         t0 = time.perf_counter()
         results = ing.run(spark)
         dt = time.perf_counter() - t0

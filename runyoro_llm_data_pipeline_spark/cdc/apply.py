@@ -1,4 +1,4 @@
-"""apply_batch — validate → normalize → collapse → MERGE → atomic commit.
+"""apply_batch — validate → normalize → collapse → merge → atomic commit.
 
 One call = one exactly-once unit, generalizing the reference's per-source
 ingest transaction (dedup check ``scripts/orchestrator.py:88-101`` …
@@ -11,11 +11,27 @@ ledger rewrite ``scripts/orchestrator.py:184-186``):
   (``scripts/text_processing.py:15-40``) applied to the ``text`` payload as a
   JVM column expression — the per-turn equality invariant lives here;
 * **collapse** (W3): latest-wins by ``(event_ts, lsn)`` per key;
-* **MERGE**: bucket-pruned copy-on-write upsert (``lake.merge``);
-* **commit**: data files + applied offsets + lineage rows land in ONE
-  snapshot; the version-pointer rename is the commit point. Crash anywhere
-  before it → next run re-applies the batch onto the previous snapshot and
-  converges to the same state (orphan files are ignored by manifests).
+* **merge**: ``mode='cow'`` = bucket-pruned copy-on-write rewrite
+  (read-optimized); ``mode='mor'`` = merge-on-read delta append
+  (write-optimized) on a deliberately minimal job graph:
+
+      metadata count → [collapse → partitioned parquet write]
+
+  where collapse is either the pure-JVM ``max_by`` aggregate (default —
+  map-side partial aggregation, measured fastest: the post-collapse
+  bucket shuffle moves only one row per key) or the single-shuffle
+  Arrow ``mapInPandas`` dedup (``collapse_impl='arrow'`` — fewer
+  shuffles but pays one Arrow round-trip of the full batch; the
+  vectorized-apply stage of BASELINE.json:north_star). Admission
+  metrics are piggybacked on the write via ``Observation``
+  (no extra scan), per-bucket lineage stats harvested from the written
+  parquet *footers* (no stats job — the same trick Iceberg manifests use),
+  and the lineage file written driver-side with pyarrow (no Spark job).
+  Two Spark jobs per batch, total.
+* **commit**: data files + applied offsets + lineage land in ONE snapshot;
+  the version-pointer rename is the commit point. Crash anywhere before it
+  → next run re-applies the batch onto the previous snapshot and converges
+  to the same state (orphan files are ignored by manifests).
 """
 
 from __future__ import annotations
@@ -23,68 +39,98 @@ from __future__ import annotations
 import os
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from runyoro_llm_data_pipeline_spark.cdc.dedup import collapse_latest_wins
+from runyoro_llm_data_pipeline_spark.cdc.dedup import (
+    collapse_latest_wins,
+    collapse_latest_wins_arrow,
+    payload_columns,
+)
 from runyoro_llm_data_pipeline_spark.cdc.events import validate_events
-from runyoro_llm_data_pipeline_spark.lake.merge import merge_into
-from runyoro_llm_data_pipeline_spark.lake.table import LINEAGE_DIR, LakeTable
-from runyoro_llm_data_pipeline_spark.operators.text import clean_and_preprocess_text_col
+from runyoro_llm_data_pipeline_spark.lake.merge import evolve_schema, merge_into
+from runyoro_llm_data_pipeline_spark.lake.table import (
+    DELETED,
+    LINEAGE_DIR,
+    VERSION_LSN,
+    VERSION_TS,
+    LakeTable,
+)
 
 
-def apply_batch(
-    spark: SparkSession,
-    table: LakeTable,
-    events: DataFrame,
-    batch_id: int,
-    normalize_text: bool = True,
-    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
-) -> dict[str, Any]:
-    snap = table.current()
-    if str(batch_id) in snap.applied:
-        return {"status": "skipped", "batch_id": batch_id, "version": snap.version}
+def _write_lineage_driver_side(
+    table: LakeTable, version: int, batch_id: int, stats: list[dict]
+) -> str:
+    """Lineage rows are tiny driver-side data — write them with pyarrow
+    directly instead of scheduling a Spark job."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
-    valid, rejected = validate_events(events)
-    n_rejected = rejected.count()
+    rel = os.path.join(LINEAGE_DIR, f"v{version:08d}")
+    out_dir = os.path.join(table.path, rel)
+    os.makedirs(out_dir, exist_ok=True)
+    t = pa.table(
+        {
+            "batch_id": pa.array([int(batch_id)] * len(stats), pa.int64()),
+            "bucket": pa.array([int(s["__bucket"]) for s in stats], pa.int32()),
+            "min_lsn": pa.array([int(s["min_lsn"]) for s in stats], pa.int64()),
+            "max_lsn": pa.array([int(s["max_lsn"]) for s in stats], pa.int64()),
+            "row_count": pa.array([int(s["row_count"]) for s in stats], pa.int64()),
+            "snapshot_version": pa.array([int(version)] * len(stats), pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(out_dir, "part-00000.parquet"))
+    return rel
 
-    if normalize_text:
-        valid = valid.withColumn(
-            "text", clean_and_preprocess_text_col(F.col("text"))
+
+def _footer_stats(table: LakeTable, entries: list[dict]) -> list[dict]:
+    """Per-bucket (min_lsn, max_lsn, row_count) from the written files'
+    parquet footers — no Spark job, exact, and O(files) driver-side."""
+    import pyarrow.parquet as pq
+
+    agg: dict[int, dict] = {}
+    for e in entries:
+        md = pq.ParquetFile(os.path.join(table.path, e["path"])).metadata
+        lsn_idx = next(
+            i for i in range(md.num_columns)
+            if md.schema.column(i).name == VERSION_LSN
         )
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(lsn_idx).statistics
+            if st is not None and st.has_min_max:
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        b = agg.setdefault(
+            e["bucket"],
+            {"__bucket": e["bucket"], "min_lsn": None, "max_lsn": None, "row_count": 0},
+        )
+        b["row_count"] += md.num_rows
+        if lo is not None:
+            b["min_lsn"] = lo if b["min_lsn"] is None else min(b["min_lsn"], lo)
+            b["max_lsn"] = hi if b["max_lsn"] is None else max(b["max_lsn"], hi)
+    return [
+        {**s, "min_lsn": s["min_lsn"] if s["min_lsn"] is not None else -1,
+         "max_lsn": s["max_lsn"] if s["max_lsn"] is not None else -1}
+        for s in sorted(agg.values(), key=lambda s: s["__bucket"])
+    ]
 
-    changes = collapse_latest_wins(valid, keys=key_cols)
-    plan = merge_into(spark, table, changes, key_cols=key_cols, snap=snap)
 
+def _commit(
+    table: LakeTable,
+    snap,
+    plan: dict,
+    batch_id: int,
+    stats: list[dict],
+    n_rejected: int,
+) -> dict[str, Any]:
     version = plan["version"]
-    stats = plan["bucket_stats"]
     if stats:
         min_lsn = min(s["min_lsn"] for s in stats)
         max_lsn = max(s["max_lsn"] for s in stats)
     else:
         min_lsn = max_lsn = -1
-
-    # lineage rows written BEFORE the pointer swap; referenced by the snapshot
-    lineage_rel = os.path.join(LINEAGE_DIR, f"v{version:08d}")
-    lineage_df = spark.createDataFrame(
-        [
-            (
-                int(batch_id),
-                int(s["__bucket"]),
-                int(s["min_lsn"]),
-                int(s["max_lsn"]),
-                int(s["row_count"]),
-                int(version),
-            )
-            for s in stats
-        ],
-        schema="batch_id long, bucket int, min_lsn long, max_lsn long, "
-        "row_count long, snapshot_version long",
-    )
-    lineage_df.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(table.path, lineage_rel)
-    )
-
+    lineage_rel = _write_lineage_driver_side(table, version, batch_id, stats)
     table.commit(
         new_files=plan["new_files"],
         carried_files=plan["carried_files"],
@@ -109,3 +155,101 @@ def apply_batch(
         "min_lsn": min_lsn,
         "max_lsn": max_lsn,
     }
+
+
+def _apply_mor(
+    spark: SparkSession,
+    table: LakeTable,
+    events: DataFrame,
+    batch_id: int,
+    normalize_text: bool,
+    key_cols: tuple[str, ...],
+    snap,
+    collapse_impl: str = "maxby",
+) -> dict[str, Any]:
+    from runyoro_llm_data_pipeline_spark.operators.text import (
+        clean_and_preprocess_text_col,
+    )
+
+    n_total = events.count()  # parquet sources: metadata-only
+    valid, _ = validate_events(events)
+    obs = Observation(f"admit_b{batch_id}_v{snap.version}")
+    valid = valid.observe(obs, F.count(F.lit(1)).alias("n_valid"))
+    if normalize_text:
+        valid = valid.withColumn("text", clean_and_preprocess_text_col(F.col("text")))
+
+    keys = list(key_cols)
+    if collapse_impl == "arrow":
+        # one shuffle (bucket-aligned) + Arrow-batched dedup; the write
+        # below streams straight through without repartitioning
+        collapsed = collapse_latest_wins_arrow(
+            valid, keys=key_cols, partition_expr=table.bucket_expr(key_cols[0])
+        )
+        pre_partitioned = True
+    else:
+        # pure-JVM map-side-combinable aggregate; needs a second (cheap,
+        # post-collapse) shuffle to bucket-align the write
+        collapsed = collapse_latest_wins(valid, keys=key_cols)
+        pre_partitioned = False
+    schema = evolve_schema(snap.schema(), collapsed)
+    payload = payload_columns(collapsed, keys)
+    incoming = collapsed.select(
+        *keys,
+        *payload,
+        F.col("__max_event_ts").alias(VERSION_TS),
+        F.col("__max_lsn").alias(VERSION_LSN),
+        (F.col("__op") == "delete").alias(DELETED),
+        table.bucket_expr(key_cols[0]).alias("__bucket"),
+    )
+    version = snap.version + 1
+    new_files = table.write_data_files(
+        incoming, version, kind="delta", pre_partitioned=pre_partitioned
+    )
+    stats = _footer_stats(table, new_files)
+    n_rejected = n_total - int(obs.get["n_valid"])
+    plan = {
+        "new_files": new_files,
+        "carried_files": list(snap.files),
+        "schema": schema,
+        "affected_buckets": sorted({e["bucket"] for e in new_files}),
+        "version": version,
+    }
+    return _commit(table, snap, plan, batch_id, stats, n_rejected)
+
+
+def apply_batch(
+    spark: SparkSession,
+    table: LakeTable,
+    events: DataFrame,
+    batch_id: int,
+    normalize_text: bool = True,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    mode: str = "cow",
+    collapse_impl: str = "maxby",
+) -> dict[str, Any]:
+    """``mode='cow'`` rewrites affected buckets pre-collapsed (read-
+    optimized); ``mode='mor'`` appends per-bucket delta files on a
+    two-job graph (write-optimized — pair with ``table.compact()``).
+    ``collapse_impl``: 'arrow' = single-shuffle mapInPandas dedup,
+    'maxby' = JVM aggregate + bucket repartition."""
+    snap = table.current()
+    if str(batch_id) in snap.applied:
+        return {"status": "skipped", "batch_id": batch_id, "version": snap.version}
+
+    if mode == "mor":
+        return _apply_mor(
+            spark, table, events, batch_id, normalize_text, key_cols, snap,
+            collapse_impl=collapse_impl,
+        )
+
+    from runyoro_llm_data_pipeline_spark.operators.text import (
+        clean_and_preprocess_text_col,
+    )
+
+    valid, rejected = validate_events(events)
+    n_rejected = rejected.count()
+    if normalize_text:
+        valid = valid.withColumn("text", clean_and_preprocess_text_col(F.col("text")))
+    changes = collapse_latest_wins(valid, keys=key_cols)
+    plan = merge_into(spark, table, changes, key_cols=key_cols, snap=snap)
+    return _commit(table, snap, plan, batch_id, plan["bucket_stats"], n_rejected)

@@ -91,6 +91,65 @@ def collapse_latest_wins_window(events: DataFrame, keys=KEY_COLS) -> DataFrame:
     return ranked.filter(F.col("__rn") == 1).drop("__rn")
 
 
+def collapse_latest_wins_arrow(
+    events: DataFrame,
+    keys=KEY_COLS,
+    partition_expr=None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Single-shuffle vectorized Arrow collapse — the high-throughput apply
+    stage (BASELINE.json:north_star: "applied in vectorized Arrow batches
+    ... no per-row Python").
+
+    Plan: one hash repartition on ``partition_expr`` (default: the key —
+    pass the table's *bucket* expression to make the output write-aligned,
+    since bucket is a function of conv_id every key lands whole in one
+    partition) → ``sortWithinPartitions(key, version desc)`` →
+    ``mapInPandas`` keeping each key's first (= winning) row via vectorized
+    shift-compare, carrying the boundary key across Arrow batches. Exactly
+    one shuffle + one sort; zero per-row Python.
+
+    Output schema/columns match :func:`collapse_latest_wins`; the lineage
+    columns are the *winner's* ``(event_ts, lsn)``.
+    """
+    payload = payload_columns(events, keys)
+    keys = list(keys)
+    sel = events.select(
+        *keys,
+        *payload,
+        F.col("op").alias("__op"),
+        F.col("event_ts").alias("__max_event_ts"),
+        F.col("lsn").alias("__max_lsn"),
+    )
+    out_schema = sel.schema
+    n_part = num_partitions or events.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    part_cols = (
+        [partition_expr] if partition_expr is not None else [F.col(k) for k in keys]
+    )
+    arranged = sel.repartition(int(n_part), *part_cols).sortWithinPartitions(
+        *keys, F.col("__max_event_ts").desc(), F.col("__max_lsn").desc()
+    )
+
+    def dedup_first(batches):
+        last_key = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            kdf = pdf[keys]
+            new = (kdf != kdf.shift()).any(axis=1)
+            first = new.iloc[0:1].copy()
+            first.iloc[0] = last_key is None or tuple(kdf.iloc[0]) != last_key
+            new.iloc[0] = first.iloc[0]
+            last_key = tuple(kdf.iloc[-1])
+            out = pdf[new.values]
+            if len(out):
+                yield out
+
+    return arranged.mapInPandas(dedup_first, schema=out_schema)
+
+
 def collapse_latest_wins_salted(
     events: DataFrame, keys=KEY_COLS, n_salt: int = 32
 ) -> DataFrame:

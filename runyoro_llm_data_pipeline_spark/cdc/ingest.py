@@ -37,11 +37,22 @@ class CdcIngest:
         batch_dir: str,
         num_buckets: int = 16,
         normalize_text: bool = True,
+        mode: str = "cow",
+        compact_max_files: int | None = 4,
+        collapse_impl: str = "maxby",
     ):
+        """``mode='mor'`` + ``compact_max_files=k`` is the high-throughput
+        configuration: batches append O(batch) delta files; any bucket
+        accumulating more than k live files is compacted inline (a
+        data-only snapshot — resumable like every other commit).
+        ``compact_max_files=None`` disables auto-compaction."""
         self.table_path = table_path
         self.batch_dir = batch_dir
         self.num_buckets = num_buckets
         self.normalize_text = normalize_text
+        self.mode = mode
+        self.compact_max_files = compact_max_files
+        self.collapse_impl = collapse_impl
 
     def table(self) -> LakeTable:
         if os.path.exists(os.path.join(self.table_path, "_VERSION")):
@@ -84,6 +95,12 @@ class CdcIngest:
                     events,
                     batch_id,
                     normalize_text=self.normalize_text,
+                    mode=self.mode,
+                    collapse_impl=self.collapse_impl,
                 )
             )
+            if self.mode == "mor" and self.compact_max_files is not None:
+                hot = table.buckets_needing_compaction(self.compact_max_files)
+                if hot:
+                    table.compact(spark, hot)
         return results

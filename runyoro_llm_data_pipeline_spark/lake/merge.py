@@ -86,6 +86,72 @@ def evolve_schema(table_schema: T.StructType, changes: DataFrame) -> T.StructTyp
     return T.StructType(data_fields + internal_fields())
 
 
+def _incoming_stored(changes: DataFrame, keys: list[str]) -> DataFrame:
+    """Collapsed batch → stored-row shape (payload + internal version
+    columns + tombstone flag)."""
+    return changes.select(
+        *keys,
+        *[c for c in changes.columns if not c.startswith("__") and c not in keys],
+        F.col("__max_event_ts").alias(VERSION_TS),
+        F.col("__max_lsn").alias(VERSION_LSN),
+        (F.col("__op") == "delete").alias(DELETED),
+    )
+
+
+def _bucket_stats(changes: DataFrame):
+    return (
+        changes.groupBy("__bucket")
+        .agg(
+            F.min("__max_lsn").alias("min_lsn"),
+            F.max("__max_lsn").alias("max_lsn"),
+            F.count("*").alias("row_count"),
+        )
+        .collect()
+    )
+
+
+def merge_append(
+    spark: SparkSession,
+    table: LakeTable,
+    changes: DataFrame,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    snap: Snapshot | None = None,
+) -> dict[str, Any]:
+    """Merge-on-read apply: write the collapsed batch as per-bucket *delta*
+    files and carry every existing file untouched — O(batch) work per batch
+    regardless of table size (the COW path is O(affected buckets)). Readers
+    collapse base ∪ deltas (``lake.table.collapse_stored``); ``compact()``
+    bounds read amplification. Same exactly-once/commutativity contract:
+    deletes persist as tombstones inside the deltas."""
+    snap = snap or table.current()
+    schema = evolve_schema(snap.schema(), changes)
+    keys = list(key_cols)
+
+    changes = changes.withColumn("__bucket", table.bucket_expr(key_cols[0]))
+    changes.cache()
+    try:
+        stats_rows = _bucket_stats(changes)
+        affected = {r["__bucket"] for r in stats_rows}
+        incoming = (
+            _incoming_stored(changes, keys)
+            .withColumn("__bucket", table.bucket_expr(key_cols[0]))
+        )
+        version = snap.version + 1
+        new_files = table.write_data_files(
+            incoming, version, buckets_hint=max(len(affected), 1), kind="delta"
+        )
+        return {
+            "new_files": new_files,
+            "carried_files": list(snap.files),
+            "schema": schema,
+            "affected_buckets": sorted(affected),
+            "bucket_stats": [r.asDict() for r in stats_rows],
+            "version": version,
+        }
+    finally:
+        changes.unpersist()
+
+
 def merge_into(
     spark: SparkSession,
     table: LakeTable,
@@ -105,25 +171,11 @@ def merge_into(
     changes = changes.withColumn("__bucket", table.bucket_expr(key_cols[0]))
     changes.cache()
     try:
-        stats_rows = (
-            changes.groupBy("__bucket")
-            .agg(
-                F.min("__max_lsn").alias("min_lsn"),
-                F.max("__max_lsn").alias("max_lsn"),
-                F.count("*").alias("row_count"),
-            )
-            .collect()
-        )
+        stats_rows = _bucket_stats(changes)
         affected = {r["__bucket"] for r in stats_rows}
         carried = [f for f in snap.files if f["bucket"] not in affected]
 
-        incoming = changes.select(
-            *keys,
-            *[c for c in changes.columns if not c.startswith("__") and c not in keys],
-            F.col("__max_event_ts").alias(VERSION_TS),
-            F.col("__max_lsn").alias(VERSION_LSN),
-            (F.col("__op") == "delete").alias(DELETED),
-        )
+        incoming = _incoming_stored(changes, keys)
         target = table.read_buckets(spark, affected, snap)
         combined = target.unionByName(incoming, allowMissingColumns=True)
 

@@ -107,20 +107,53 @@ def _atomic_write(path: str, content: str) -> None:
     os.rename(tmp, path)  # POSIX atomic — the commit point
 
 
+def collapse_stored(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Latest-wins collapse of *stored* rows (base ∪ delta files) by the
+    internal version columns — the read-side half of merge-on-read. Same
+    map-side-combinable ``max_by`` as the write path, so hot keys are
+    partially collapsed before the shuffle."""
+    payload = [c for c in df.columns if c not in keys]
+    ordv = F.struct(F.col(VERSION_TS), F.col(VERSION_LSN))
+    return (
+        df.groupBy(*keys)
+        .agg(F.max_by(F.struct(*payload), ordv).alias("__w"))
+        .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in payload])
+    )
+
+
 class LakeTable:
-    """A bucketed, snapshot-versioned Parquet table with atomic commits."""
+    """A bucketed, snapshot-versioned Parquet table with atomic commits.
+
+    Two write disciplines share the format (file entries carry
+    ``kind: base|delta``):
+
+    * **copy-on-write** — affected buckets are rewritten pre-collapsed;
+      reads are plain scans. Best for read-heavy tables / small batches.
+    * **merge-on-read** — each batch appends per-bucket delta files
+      (O(batch) write cost regardless of table size); reads collapse
+      base ∪ deltas per key, and ``compact()`` folds deltas back into base
+      files per bucket. Best for high-rate CDC apply — the 10^10-event
+      headline path.
+    """
 
     def __init__(self, path: str, num_buckets: int = 16):
         self.path = os.path.abspath(path)
         self.num_buckets = num_buckets
+        self.key_cols = ["conv_id", "turn_idx"]
 
     # ---------------------------------------------------------------- setup
     @staticmethod
-    def create(path: str, schema: T.StructType, num_buckets: int = 16) -> "LakeTable":
+    def create(
+        path: str,
+        schema: T.StructType,
+        num_buckets: int = 16,
+        key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    ) -> "LakeTable":
         os.makedirs(os.path.join(path, SNAP_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, DATA_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, LINEAGE_DIR), exist_ok=True)
         t = LakeTable(path, num_buckets)
+        t.key_cols = list(key_cols)
         if t.current_version() is None:
             snap = Snapshot(
                 version=0,
@@ -128,11 +161,13 @@ class LakeTable:
                 schema_json=schema.jsonValue(),
                 files=[],
                 applied={},
-                summary={"num_buckets": num_buckets},
+                summary={"num_buckets": num_buckets, "key_cols": list(key_cols)},
             )
             t._write_snapshot(snap)
         else:
-            t.num_buckets = t.current().summary.get("num_buckets", num_buckets)
+            cur = t.current()
+            t.num_buckets = cur.summary.get("num_buckets", num_buckets)
+            t.key_cols = cur.summary.get("key_cols", list(key_cols))
         return t
 
     @staticmethod
@@ -140,6 +175,7 @@ class LakeTable:
         t = LakeTable(path)
         cur = t.current()
         t.num_buckets = cur.summary.get("num_buckets", 16)
+        t.key_cols = cur.summary.get("key_cols", ["conv_id", "turn_idx"])
         return t
 
     # ------------------------------------------------------------ snapshots
@@ -194,6 +230,11 @@ class LakeTable:
             df = spark.createDataFrame([], schema)
         else:
             df = spark.read.schema(schema).parquet(*paths)
+        # merge-on-read: when any delta files exist, collapse base ∪ deltas
+        # per key before serving (one hash aggregate; pre-collapsed COW
+        # snapshots skip this entirely)
+        if any(f.get("kind", "base") == "delta" for f in snap.files):
+            df = collapse_stored(df, self.key_cols)
         if include_internal or DELETED not in df.columns:
             return df
         return df.filter(~F.coalesce(F.col(DELETED), F.lit(False))).drop(
@@ -225,17 +266,27 @@ class LakeTable:
         return F.pmod(F.xxhash64(F.col(key_col)), F.lit(self.num_buckets)).cast("int")
 
     def write_data_files(
-        self, df: DataFrame, version: int, buckets_hint: int | None = None
+        self,
+        df: DataFrame,
+        version: int,
+        buckets_hint: int | None = None,
+        kind: str = "base",
+        pre_partitioned: bool = False,
     ) -> list[dict[str, Any]]:
         """Write ``df`` (must contain ``__bucket``) into this snapshot's data
         dir, one Parquet directory partition per bucket; returns manifest
-        entries. Uses ``partitionBy`` so file→bucket is structural."""
+        entries tagged ``kind`` (base = pre-collapsed, delta = MOR append).
+        Uses ``partitionBy`` so file→bucket is structural.
+        ``pre_partitioned=True`` skips the repartition — callers that
+        already shuffled on the bucket expression (the MOR single-shuffle
+        path) write straight through."""
         rel_dir = os.path.join(DATA_DIR, f"v{version:08d}")
         out_dir = os.path.join(self.path, rel_dir)
-        n_out = buckets_hint or self.num_buckets
+        if not pre_partitioned:
+            n_out = buckets_hint or self.num_buckets
+            df = df.repartition(n_out, "__bucket")
         (
-            df.repartition(n_out, "__bucket")
-            .write.mode("overwrite")
+            df.write.mode("overwrite")
             .partitionBy("__bucket")
             .parquet(out_dir)
         )
@@ -247,9 +298,62 @@ class LakeTable:
             for fn in sorted(os.listdir(os.path.join(out_dir, bdir))):
                 if fn.endswith(".parquet"):
                     entries.append(
-                        {"path": os.path.join(rel_dir, bdir, fn), "bucket": bucket}
+                        {
+                            "path": os.path.join(rel_dir, bdir, fn),
+                            "bucket": bucket,
+                            "kind": kind,
+                        }
                     )
         return entries
+
+    # ----------------------------------------------------------- compaction
+    def buckets_needing_compaction(self, max_files: int = 4) -> set[int]:
+        """Buckets whose live file count exceeds ``max_files`` — the MOR
+        read-amplification guard."""
+        counts: dict[int, int] = {}
+        for f in self.current().files:
+            counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
+        return {b for b, n in counts.items() if n > max_files}
+
+    def compact(self, spark: SparkSession, buckets: set[int] | None = None) -> int:
+        """Fold delta files back into one base file per bucket (latest-wins
+        collapse with tombstones retained — a stale replayed event must
+        still lose to a newer delete). Data-only commit: the applied-offset
+        map is untouched, so compaction is safe at any point and crash
+        during compaction simply leaves the previous snapshot current."""
+        snap = self.current()
+        if buckets is None:
+            buckets = {f["bucket"] for f in snap.files}
+        buckets = {
+            b
+            for b in buckets
+            if sum(1 for f in snap.files if f["bucket"] == b) > 1
+            or any(
+                f.get("kind", "base") == "delta"
+                for f in snap.files
+                if f["bucket"] == b
+            )
+        }
+        if not buckets:
+            return 0
+        df = self.read_buckets(spark, buckets, snap)
+        compacted = collapse_stored(df, self.key_cols).withColumn(
+            "__bucket", self.bucket_expr(self.key_cols[0])
+        )
+        version = snap.version + 1
+        new_files = self.write_data_files(
+            compacted, version, buckets_hint=max(len(buckets), 1), kind="base"
+        )
+        carried = [f for f in snap.files if f["bucket"] not in buckets]
+        self.commit(
+            new_files=new_files,
+            carried_files=carried,
+            schema=snap.schema(),
+            applied_update={},
+            summary_update={"last_compaction_version": version},
+            parent=snap,
+        )
+        return len(buckets)
 
     def commit(
         self,
