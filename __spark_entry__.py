@@ -149,6 +149,24 @@ def q_knn_lsh(spark, sf_dir):
     return sim.cosine_topk_lsh(_emb(spark, sf_dir), query_vec_id=0, k=10)
 
 
+def q_event_rate(spark, sf_dir):
+    """Tumbling-window event-rate metric (the batch form of the streaming
+    turn_rate aggregate — streaming/ingest_stream.py)."""
+    return (
+        _ev(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # CDC core (W3 latest-wins, salted skew variant, ordered ops)
     "cdc_latest_wins": q_cdc_latest_wins,
@@ -174,6 +192,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": lambda s, d: dd.exact_dedup(_docs(s, d)),
     "ngram_jaccard_pairs": lambda s, d: dd.ngram_jaccard_pairs(_docs(s, d)),
     "minhash_lsh_candidates": lambda s, d: dd.minhash_lsh_candidates(_docs(s, d)),
+    "near_dup_verified": lambda s, d: dd.near_dup_verified(_docs(s, d)),
     "simhash": lambda s, d: dd.simhash(_docs(s, d)),
     # similarity search
     "knn_bruteforce": lambda s, d: sim.cosine_topk_bruteforce(
@@ -181,6 +200,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "knn_lsh": q_knn_lsh,  # approximate — rows-only check (no oracle)
     "label_centroids": sim.pairwise_label_centroids,
+    # streaming-shaped windowed aggregate (batch parity form)
+    "event_rate_1h": q_event_rate,
 }
 
 
@@ -420,6 +441,38 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM band a JOIN band b ON a.band = b.band AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id
 """,
+    "near_dup_verified": f"""
+WITH {_SHINGLES},
+mh AS (
+  SELECT doc_id, u.p AS p,
+         MIN(md5(CAST(u.p AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM sh, UNNEST(range(0, 12)) AS u(p)
+  GROUP BY doc_id, u.p
+),
+band AS (
+  SELECT doc_id, CAST(p // 2 AS INTEGER) AS band,
+         string_agg(minhash, '' ORDER BY minhash) AS band_key
+  FROM mh GROUP BY doc_id, CAST(p // 2 AS INTEGER)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band a JOIN band b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 5 * n_common >= 1 * (sa.n_sh + sb.n_sh - n_common)
+""",
     "simhash": _simhash_sql(16),
     "knn_bruteforce": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -447,6 +500,13 @@ SELECT label, round(sqrt(SUM(mean_x * mean_x)), 6) AS centroid_norm,
 FROM cent GROUP BY label
 """,
 }
+ORACLES["event_rate_1h"] = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts)
+"""
+
 # salted variant shares its oracle with the unsalted collapse
 ORACLES["cdc_latest_wins_salted"] = ORACLES["cdc_latest_wins"]
 

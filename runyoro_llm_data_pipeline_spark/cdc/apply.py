@@ -157,6 +157,39 @@ def _commit(
     }
 
 
+def _fast_count(events: DataFrame) -> int:
+    """Total input rows without a Spark job when the frame is a plain
+    parquet scan: sum the file footers' num_rows driver-side (pyarrow).
+    Falls back to ``count()`` for any other plan shape."""
+    import pyarrow.parquet as pq
+
+    try:
+        files = events.inputFiles()
+    except Exception:
+        files = []
+    if files and all(f.endswith(".parquet") for f in files):
+        try:
+            total = 0
+            for f in files:
+                total += pq.ParquetFile(f.removeprefix("file:")).metadata.num_rows
+            return total
+        except OSError:
+            pass
+    return events.count()
+
+
+def _normalizer(impl: str):
+    """P2 text normalization column fn: 'jvm' = whole-stage-codegen regex
+    (fast path; Unicode-version caveat in operators/text.py), 'pandas' =
+    Arrow-batched CPython regex (bit-exact vs the reference)."""
+    from runyoro_llm_data_pipeline_spark.operators import text as t
+
+    return (
+        t.clean_and_preprocess_text_pandas if impl == "pandas"
+        else t.clean_and_preprocess_text_col
+    )
+
+
 def _apply_mor(
     spark: SparkSession,
     table: LakeTable,
@@ -166,17 +199,15 @@ def _apply_mor(
     key_cols: tuple[str, ...],
     snap,
     collapse_impl: str = "maxby",
+    normalize_impl: str = "jvm",
 ) -> dict[str, Any]:
-    from runyoro_llm_data_pipeline_spark.operators.text import (
-        clean_and_preprocess_text_col,
-    )
 
-    n_total = events.count()  # parquet sources: metadata-only
+    n_total = _fast_count(events)
     valid, _ = validate_events(events)
     obs = Observation(f"admit_b{batch_id}_v{snap.version}")
     valid = valid.observe(obs, F.count(F.lit(1)).alias("n_valid"))
     if normalize_text:
-        valid = valid.withColumn("text", clean_and_preprocess_text_col(F.col("text")))
+        valid = valid.withColumn("text", _normalizer(normalize_impl)(F.col("text")))
 
     keys = list(key_cols)
     if collapse_impl == "arrow":
@@ -203,7 +234,8 @@ def _apply_mor(
     )
     version = snap.version + 1
     new_files = table.write_data_files(
-        incoming, version, kind="delta", pre_partitioned=pre_partitioned
+        incoming, version, kind="delta", pre_partitioned=pre_partitioned,
+        salt_cols=keys,
     )
     stats = _footer_stats(table, new_files)
     n_rejected = n_total - int(obs.get["n_valid"])
@@ -226,12 +258,14 @@ def apply_batch(
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     mode: str = "cow",
     collapse_impl: str = "maxby",
+    normalize_impl: str = "jvm",
 ) -> dict[str, Any]:
     """``mode='cow'`` rewrites affected buckets pre-collapsed (read-
     optimized); ``mode='mor'`` appends per-bucket delta files on a
     two-job graph (write-optimized — pair with ``table.compact()``).
     ``collapse_impl``: 'arrow' = single-shuffle mapInPandas dedup,
-    'maxby' = JVM aggregate + bucket repartition."""
+    'maxby' = JVM aggregate + bucket repartition. ``normalize_impl``:
+    'jvm' fast path or 'pandas' CPython-bit-exact path."""
     snap = table.current()
     if str(batch_id) in snap.applied:
         return {"status": "skipped", "batch_id": batch_id, "version": snap.version}
@@ -239,17 +273,13 @@ def apply_batch(
     if mode == "mor":
         return _apply_mor(
             spark, table, events, batch_id, normalize_text, key_cols, snap,
-            collapse_impl=collapse_impl,
+            collapse_impl=collapse_impl, normalize_impl=normalize_impl,
         )
-
-    from runyoro_llm_data_pipeline_spark.operators.text import (
-        clean_and_preprocess_text_col,
-    )
 
     valid, rejected = validate_events(events)
     n_rejected = rejected.count()
     if normalize_text:
-        valid = valid.withColumn("text", clean_and_preprocess_text_col(F.col("text")))
+        valid = valid.withColumn("text", _normalizer(normalize_impl)(F.col("text")))
     changes = collapse_latest_wins(valid, keys=key_cols)
     plan = merge_into(spark, table, changes, key_cols=key_cols, snap=snap)
     return _commit(table, snap, plan, batch_id, plan["bucket_stats"], n_rejected)

@@ -265,21 +265,28 @@ def _expected_from_events(events: DataFrame) -> DataFrame:
 
 
 def write_batch_files(
-    events: DataFrame, out_dir: str, tool_from_batch: int = 0
+    events: DataFrame,
+    out_dir: str,
+    tool_from_batch: int = 0,
+    files_per_batch: int | None = None,
 ) -> list[tuple[int, str]]:
     """Materialize the log as one Parquet directory per batch —
     ``batch_00000/`` … — dropping the ``tool`` column entirely for batches
     below ``tool_from_batch`` (column-absent, not just null: real additive
-    schema evolution on the wire)."""
+    schema evolution on the wire). ``files_per_batch`` defaults to
+    4 files per core — a realistic binlog-tailer chunking that also keeps
+    the consumer's scan stage parallelizable."""
     batch_ids = sorted(
         r["batch_id"] for r in events.select("batch_id").distinct().collect()
     )
+    if files_per_batch is None:
+        files_per_batch = events.sparkSession.sparkContext.defaultParallelism * 4
     out = []
     for b in batch_ids:
         sub = events.filter(F.col("batch_id") == b)
         if b < tool_from_batch:
             sub = sub.drop("tool")
         path = os.path.join(out_dir, f"batch_{b:05d}")
-        sub.write.mode("overwrite").parquet(path)
+        sub.repartition(files_per_batch).write.mode("overwrite").parquet(path)
         out.append((int(b), path))
     return out

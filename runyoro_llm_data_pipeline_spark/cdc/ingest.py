@@ -40,6 +40,7 @@ class CdcIngest:
         mode: str = "cow",
         compact_max_files: int | None = 4,
         collapse_impl: str = "maxby",
+        normalize_impl: str = "jvm",
     ):
         """``mode='mor'`` + ``compact_max_files=k`` is the high-throughput
         configuration: batches append O(batch) delta files; any bucket
@@ -53,6 +54,7 @@ class CdcIngest:
         self.mode = mode
         self.compact_max_files = compact_max_files
         self.collapse_impl = collapse_impl
+        self.normalize_impl = normalize_impl
 
     def table(self) -> LakeTable:
         if os.path.exists(os.path.join(self.table_path, "_VERSION")):
@@ -77,6 +79,28 @@ class CdcIngest:
         applied = set(self.table().current().applied.keys())
         return [(b, p) for b, p in self.discover() if str(b) not in applied]
 
+    @staticmethod
+    def _tune_split_size(spark: SparkSession, batch_path: str) -> None:
+        """Right-size input splits for this batch: with the stock 128 MB
+        ``maxPartitionBytes`` (+4 MB per-file open cost) a small catch-up
+        batch collapses into 2-3 splits and the scan→normalize→partial-agg
+        map stage — the CPU-heavy part of apply — serializes onto a few
+        cores. Target ≈ 2 splits per core, floored at 4 MB; at 10^10-event
+        scale batches are big and this converges back to the default."""
+        try:
+            size = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(batch_path)
+                for f in fs
+            )
+        except OSError:
+            return
+        cores = spark.sparkContext.defaultParallelism
+        target = max(size // (cores * 2), 1024 * 1024)
+        target = min(target, 128 * 1024 * 1024)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(512 * 1024))
+
     def run(
         self, spark: SparkSession, max_batches: int | None = None
     ) -> list[dict[str, Any]]:
@@ -87,6 +111,7 @@ class CdcIngest:
         for i, (batch_id, path) in enumerate(self.pending()):
             if max_batches is not None and i >= max_batches:
                 break
+            self._tune_split_size(spark, path)
             events = spark.read.parquet(path)
             results.append(
                 apply_batch(
@@ -97,6 +122,7 @@ class CdcIngest:
                     normalize_text=self.normalize_text,
                     mode=self.mode,
                     collapse_impl=self.collapse_impl,
+                    normalize_impl=self.normalize_impl,
                 )
             )
             if self.mode == "mor" and self.compact_max_files is not None:

@@ -272,6 +272,7 @@ class LakeTable:
         buckets_hint: int | None = None,
         kind: str = "base",
         pre_partitioned: bool = False,
+        salt_cols: list[str] | None = None,
     ) -> list[dict[str, Any]]:
         """Write ``df`` (must contain ``__bucket``) into this snapshot's data
         dir, one Parquet directory partition per bucket; returns manifest
@@ -284,7 +285,18 @@ class LakeTable:
         out_dir = os.path.join(self.path, rel_dir)
         if not pre_partitioned:
             n_out = buckets_hint or self.num_buckets
-            df = df.repartition(n_out, "__bucket")
+            if salt_cols:
+                # salt the write partitioning *within* buckets: a Zipf-hot
+                # conversation concentrates keys into one bucket, and an
+                # unsalted repartition makes that bucket's single writer
+                # the stage straggler. Multiple files per bucket are fine —
+                # the manifest lists them all. Key identity is untouched.
+                salt = F.pmod(
+                    F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(4)
+                )
+                df = df.repartition(n_out * 2, "__bucket", salt)
+            else:
+                df = df.repartition(n_out, "__bucket")
         (
             df.write.mode("overwrite")
             .partitionBy("__bucket")
@@ -308,11 +320,14 @@ class LakeTable:
 
     # ----------------------------------------------------------- compaction
     def buckets_needing_compaction(self, max_files: int = 4) -> set[int]:
-        """Buckets whose live file count exceeds ``max_files`` — the MOR
-        read-amplification guard."""
+        """Buckets whose *delta* file count exceeds ``max_files`` — the MOR
+        read-amplification guard. Base files don't count: a batch write may
+        legitimately produce several (salt-split) files per bucket, and
+        read cost is driven by how many deltas must be re-collapsed."""
         counts: dict[int, int] = {}
         for f in self.current().files:
-            counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
+            if f.get("kind", "base") == "delta":
+                counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
         return {b for b, n in counts.items() if n > max_files}
 
     def compact(self, spark: SparkSession, buckets: set[int] | None = None) -> int:

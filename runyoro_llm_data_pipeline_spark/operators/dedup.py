@@ -103,23 +103,41 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(
+def minhash_signatures_wide(
     docs: DataFrame, text_col: str = "text", n_perm: int = 12, k: int = SHINGLE_K
 ) -> DataFrame:
     """MinHash: permutation i's hash of a shingle is md5(i || '|' || shingle)
     (a hex string — min is lexicographic, identical in any engine);
-    signature element i = min over the doc's shingles. Output: one row per
-    (doc_id, perm, minhash)."""
+    signature element i = min over the doc's shingles.
+
+    Computed as ONE hash aggregate with ``n_perm`` ``min`` expressions over
+    the shingle rows (map-side combined) — not an ``n_perm×`` row
+    explosion. Output: one row per doc with columns mh0..mh{n_perm-1}."""
     sh = doc_shingles(docs, text_col, k)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("perm")
-    expanded = sh.select("doc_id", "shingle", perms)
-    return (
-        expanded.groupBy("doc_id", "perm")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("shingle")))
-            ).alias("minhash")
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(n_perm)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", n_perm: int = 12, k: int = SHINGLE_K
+) -> DataFrame:
+    """Long-form (doc_id, perm, minhash) view of the wide signatures."""
+    wide = minhash_signatures_wide(docs, text_col, n_perm, k)
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("perm"), F.col(f"mh{i}").alias("minhash")
+                )
+                for i in range(n_perm)
+            ]
         )
+    )
+    return wide.select("doc_id", pairs.alias("p")).select(
+        "doc_id", F.col("p.perm").alias("perm"), F.col("p.minhash").alias("minhash")
     )
 
 
@@ -131,17 +149,31 @@ def minhash_lsh_candidates(
     k: int = SHINGLE_K,
 ) -> DataFrame:
     """LSH banding: group the n_perm signature into bands of ``band_size``;
-    band key = concatenated minhashes; docs sharing any band key are
-    candidate near-duplicates. Returns distinct (doc_a < doc_b) pairs.
-    Verification (exact Jaccard on candidates only) composes with
-    ``ngram_jaccard_pairs`` semantics downstream."""
-    sig = minhash_signatures(docs, text_col, n_perm, k)
-    banded = (
-        sig.withColumn("band", (F.col("perm") / band_size).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws("", F.array_sort(F.collect_list("minhash"))).alias("band_key")
-        )
+    band key = concatenated (sorted) minhashes; docs sharing any band key
+    are candidate near-duplicates. Returns distinct (doc_a < doc_b) pairs.
+
+    Band keys are built straight from the wide signature row (one
+    projection), so the whole pipeline is: shingle explode → one agg →
+    band explode → equi-join on (band, band_key). Verification (exact
+    Jaccard on candidates only) composes downstream — see
+    ``near_dup_verified``."""
+    wide = minhash_signatures_wide(docs, text_col, n_perm, k)
+    n_bands = n_perm // band_size
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                "",
+                F.array_sort(
+                    F.array(
+                        *[F.col(f"mh{band_size * j + r}") for r in range(band_size)]
+                    )
+                ),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    banded = wide.select(
+        "doc_id", F.posexplode(band_arr).alias("band", "band_key")
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -152,6 +184,43 @@ def minhash_lsh_candidates(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+    )
+
+
+def near_dup_verified(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_perm: int = 12,
+    band_size: int = 2,
+    k: int = SHINGLE_K,
+    jaccard_num: int = 1,
+    jaccard_den: int = 5,
+) -> DataFrame:
+    """The scale path for near-dup detection: LSH candidate generation
+    (cheap, linear) followed by exact shingle-Jaccard verification of ONLY
+    the candidate pairs — never the all-pairs shingle self-join. Returns
+    verified pairs with integer evidence columns."""
+    cands = minhash_lsh_candidates(docs, text_col, n_perm, band_size, k)
+    sh = doc_shingles(docs, text_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cands.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .filter(
+            F.lit(jaccard_den) * F.col("n_common")
+            >= F.lit(jaccard_num) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
     )
 
 

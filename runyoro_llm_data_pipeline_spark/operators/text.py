@@ -36,11 +36,26 @@ from pyspark.sql import functions as F
 # exact pattern from scripts/text_processing.py:31-33
 _ALLOWED_PUNCT = ".,?!'’-–—"
 _PY_PATTERN = re.compile(rf"[^\w\s{re.escape(_ALLOWED_PUNCT)}]", flags=re.UNICODE)
-# Java regex equivalent: (?U) turns on UNICODE_CHARACTER_CLASS so \w/\s match
-# CPython's re.UNICODE classes.
-_JAVA_PATTERN = r"(?U)[^\w\s.,?!'’\-–—]"
-# Python str.strip() removes unicode whitespace from both ends.
-_JAVA_STRIP = r"(?U)^\s+|(?U)\s+$"
+# Java-side emulation of CPython's Unicode classes. (?U)\w/\s are NOT
+# byte-identical to CPython's: Java \w additionally matches combining marks
+# (Mn/Mc/Me), which CPython strips; and CPython \s / str.strip() treat the
+# file/group/record/unit separators U+001C-001F as whitespace, which the
+# Unicode White_Space property (Java's (?U)\s) does not. Hence:
+#   CPython \w  ≡  [\p{L}\p{N}_]
+#   CPython \s  ≡  [(?U)\s \x1C-\x1F]
+# Pinned by the golden corpus + hypothesis property test
+# (tests/test_text_normalization.py).
+#
+# Known residual divergence: codepoints ASSIGNED AFTER the JVM's Unicode
+# table version (JDK 17 ships Unicode 13; CPython 3.11 ships 14 — e.g.
+# U+0870 Arabic Ext-B) classify as non-word on the JVM and word in
+# CPython. For corpora that can contain bleeding-edge codepoints use
+# ``clean_and_preprocess_text_pandas`` (bit-exact by construction) via
+# ``apply_batch(..., normalize_impl='pandas')``.
+_J_WS = r"\s\x1C-\x1F"
+_JAVA_PATTERN = rf"(?U)[^\p{{L}}\p{{N}}_{_J_WS}.,?!'’\-–—]"
+# Python str.strip() removes exactly the CPython-whitespace set.
+_JAVA_STRIP = rf"(?U)^[{_J_WS}]+|(?U)[{_J_WS}]+$"
 
 
 def clean_and_preprocess_text_py(text) -> str:
@@ -104,12 +119,13 @@ def clean_text_initial_py(text) -> str:
 
 def clean_text_initial_col(col: Column) -> Column:
     """P1 JVM path: unescape entities, collapse any whitespace run to one
-    space, strip. ``" ".join(text.split())`` ≡ collapse-unicode-ws + strip."""
+    space, strip. ``" ".join(text.split())`` ≡ collapse-CPython-ws + strip
+    (same U+001C-001F caveat as above)."""
     c = col
     c = F.replace(c, F.lit("&amp;"), F.lit("&"))
     c = F.replace(c, F.lit("&lt;"), F.lit("<"))
     c = F.replace(c, F.lit("&gt;"), F.lit(">"))
-    c = F.regexp_replace(c, r"(?U)\s+", " ")
+    c = F.regexp_replace(c, rf"(?U)[{_J_WS}]+", " ")
     c = F.regexp_replace(c, r"^ +| +$", "")
     return c
 

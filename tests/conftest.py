@@ -22,6 +22,13 @@ def spark():
     yield s
 
 
+@pytest.fixture(scope="session")
+def shared_spark_holder(spark):
+    """Function-scoped alias usable inside @given (hypothesis forbids
+    function-scoped fixtures; session scope is fine)."""
+    return spark
+
+
 @pytest.fixture()
 def tmp_lake(tmp_path_factory):
     d = tmp_path_factory.mktemp("lake")

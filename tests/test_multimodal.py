@@ -1,0 +1,78 @@
+"""Multimodal plumbing: deterministic binary fixtures through the Arrow
+feature-extraction, frame-sampling and resize-planning stages."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from runyoro_llm_data_pipeline_spark.operators.multimodal import (
+    _fake_decode,
+    extract_features,
+    frame_sample,
+    resize_meta,
+    synthesize_binary_docs,
+)
+
+
+def test_synthesize_deterministic(spark):
+    a = synthesize_binary_docs(spark, 32).collect()
+    b = synthesize_binary_docs(spark, 32).collect()
+    assert [r["content"] for r in a] == [r["content"] for r in b]
+    assert all(len(r["content"]) == 96 for r in a)
+    assert {r["modality"] for r in a} <= {"image", "audio", "video"}
+
+
+def test_extract_features_shapes_and_determinism(spark):
+    docs = synthesize_binary_docs(spark, 48)
+    feats = extract_features(docs, feature_dim=8)
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    assert len(rows) == 48
+    for r in rows.values():
+        assert len(r["features"]) == 8
+        assert r["n_samples"] == 96
+        assert 0.0 <= r["rms_energy"] <= 1.0
+    # feature values match a direct numpy computation for one doc
+    raw = {r["doc_id"]: r["content"] for r in docs.collect()}
+    sig = _fake_decode(bytes(raw[0]))
+    expect = sig.astype(np.float64).reshape(8, -1).mean(axis=1)
+    got = np.array(rows[0]["features"])
+    assert np.allclose(got, expect)
+
+
+def test_extract_features_custom_decoder(spark):
+    docs = synthesize_binary_docs(spark, 8)
+
+    def all_ones(b):
+        return np.ones(32, dtype=np.float32)
+
+    out = extract_features(docs, decoder=all_ones, feature_dim=4).collect()
+    for r in out:
+        assert np.allclose(r["features"], [1.0] * 4)
+        assert r["rms_energy"] == 1.0
+
+
+def test_frame_sample_enumeration(spark):
+    docs = synthesize_binary_docs(spark, 16)
+    frames = frame_sample(docs, frame_bytes=16, stride=32)
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    # 96-byte payload, window 16, stride 32 → floor((96-16)/32)+1 = 3 frames
+    assert all(n == 3 for n in per_doc.values())
+    one = frames.filter(
+        (F.col("doc_id") == 0) & (F.col("frame_idx") == 1)
+    ).collect()[0]
+    raw = docs.filter(F.col("doc_id") == 0).collect()[0]["content"]
+    assert bytes(one["frame"]) == bytes(raw[32:48])
+
+
+def test_resize_meta_caps_and_preserves_aspect(spark):
+    docs = synthesize_binary_docs(spark, 64)
+    plan = resize_meta(docs, max_side=128).collect()
+    for r in plan:
+        assert max(r["target_width"], r["target_height"]) <= 128
+        assert r["target_width"] >= 1 and r["target_height"] >= 1
+        if r["width"] <= 128 and r["height"] <= 128:
+            assert (r["target_width"], r["target_height"]) == (
+                r["width"], r["height"],
+            )

@@ -1,0 +1,94 @@
+"""Structured Streaming ingest: AvailableNow drain, exactly-once across
+restarts, and windowed/session aggregates."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from runyoro_llm_data_pipeline_spark.cdc.generator import (
+    gen_change_log,
+    write_batch_files,
+)
+from runyoro_llm_data_pipeline_spark.streaming.ingest_stream import (
+    CdcStreamIngest,
+    conversation_sessions,
+    turn_rate,
+)
+
+
+def _rows(df):
+    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+    return [
+        tuple(r) for r in df.select(*cols).orderBy("conv_id", "turn_idx").collect()
+    ]
+
+
+@pytest.fixture(scope="module")
+def log(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("streamlog"))
+    events, expected = gen_change_log(
+        spark, n_turns=500, n_convs=20, n_batches=4, tool_from_batch=0
+    )
+    write_batch_files(events, d)
+    return d, _rows(expected), events
+
+
+def test_stream_available_now_matches_expected(spark, log, tmp_lake):
+    src, expected, _ = log
+    ing = CdcStreamIngest(
+        os.path.join(tmp_lake, "t"),
+        src,
+        os.path.join(tmp_lake, "cp"),
+        num_buckets=8,
+        max_files_per_trigger=4,
+    )
+    results = ing.run_available_now(spark)
+    assert len(results) >= 2  # multiple micro-batches actually happened
+    assert all(r["status"] == "applied" for r in results)
+    assert _rows(ing.table().read(spark)) == expected
+
+
+def test_stream_restart_is_noop_then_incremental(spark, log, tmp_lake):
+    src, expected, events = log
+    t = os.path.join(tmp_lake, "t")
+    cp = os.path.join(tmp_lake, "cp")
+    ing = CdcStreamIngest(t, src, cp, num_buckets=8)
+    ing.run_available_now(spark)
+    v1 = ing.table().current_version()
+
+    # restart with same checkpoint: nothing new → no new commits
+    ing2 = CdcStreamIngest(t, src, cp, num_buckets=8)
+    r2 = ing2.run_available_now(spark)
+    assert all(x["status"] in ("applied", "skipped") for x in r2)
+    assert ing2.table().current_version() == v1
+    assert _rows(ing2.table().read(spark)) == expected
+
+    # drop a brand-new event file in → only it is picked up
+    late = events.limit(0).sparkSession.createDataFrame(
+        [("insert", "conv_late", 0, "user", "late arrival", None, None, None)],
+        "op string, conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, event_ts timestamp",
+    ).withColumn("event_ts", F.lit("2024-06-01 00:00:00").cast("timestamp")) \
+     .withColumn("lsn", F.lit(10_000_000).cast("long")) \
+     .withColumn("batch_id", F.lit(999).cast("long"))
+    late.coalesce(1).write.mode("append").parquet(os.path.join(src, "late_batch"))
+    ing3 = CdcStreamIngest(t, src, cp, num_buckets=8)
+    r3 = ing3.run_available_now(spark)
+    assert any(x["status"] == "applied" for x in r3)
+    final = ing3.table().read(spark)
+    assert final.filter(F.col("conv_id") == "conv_late").count() == 1
+    # previously-applied rows untouched
+    assert final.count() == len(expected) + 1
+
+
+def test_turn_rate_and_sessions_batch_parity(spark, log):
+    _, _, events = log
+    tr = turn_rate(events.withColumn("event_ts", F.col("event_ts")))
+    assert tr.agg(F.sum("n_events")).collect()[0][0] == events.count()
+    cs = conversation_sessions(events, gap="30 minutes")
+    total_turns = cs.agg(F.sum("n_turns")).collect()[0][0]
+    assert total_turns == events.count()
+    # session bounds are consistent
+    bad = cs.filter(F.col("session_end") < F.col("session_start")).count()
+    assert bad == 0
