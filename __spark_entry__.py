@@ -149,6 +149,41 @@ def q_knn_lsh(spark, sf_dir):
     return sim.cosine_topk_lsh(_emb(spark, sf_dir), query_vec_id=0, k=10)
 
 
+def q_source_dispatch(spark, sf_dir):
+    """S1/P8/P10: synthesize deterministic source paths over documents,
+    infer the processing pipeline per path, and project artifact names.
+    The oracle derives expected type/name straight from the modulo — an
+    independent check of the extension/URL classification expressions."""
+    from runyoro_llm_data_pipeline_spark.operators.dispatch import (
+        detect_source_type,
+        output_name,
+    )
+
+    d = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 7
+    ext = (
+        F.when(m == 0, F.lit(".txt"))
+        .when(m == 1, F.lit(".pdf"))
+        .when(m == 2, F.lit(".wav"))
+        .when(m == 3, F.lit(".mp4"))
+        .when(m == 4, F.lit(".png"))
+        .otherwise(F.lit(".xyz"))
+    )
+    path = F.when(
+        m == 6,
+        F.concat(F.lit("https://example.com/"), F.col("source"), F.lit("/d/"),
+                 F.col("doc_id").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("raw_data/"), F.col("source"), F.lit("/doc_"),
+                 F.col("doc_id").cast("string"), ext)
+    )
+    return d.select(
+        "doc_id",
+        detect_source_type(path).alias("source_type"),
+        output_name(path).alias("out_name"),
+    )
+
+
 def q_event_rate(spark, sf_dir):
     """Tumbling-window event-rate metric (the batch form of the streaming
     turn_rate aggregate — streaming/ingest_stream.py)."""
@@ -202,6 +237,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_centroids": sim.pairwise_label_centroids,
     # streaming-shaped windowed aggregate (batch parity form)
     "event_rate_1h": q_event_rate,
+    # S1/P8 type dispatch + P10 name projection
+    "source_dispatch": q_source_dispatch,
 }
 
 
@@ -500,6 +537,19 @@ SELECT label, round(sqrt(SUM(mean_x * mean_x)), 6) AS centroid_norm,
 FROM cent GROUP BY label
 """,
 }
+ORACLES["source_dispatch"] = """
+SELECT doc_id,
+       CASE doc_id % 7
+         WHEN 0 THEN 'text_file' WHEN 1 THEN 'pdf' WHEN 2 THEN 'audio'
+         WHEN 3 THEN 'video'     WHEN 4 THEN 'image'
+         WHEN 6 THEN 'website_static' ELSE NULL END AS source_type,
+       CASE WHEN doc_id % 7 = 6
+            THEN 'example_com_' || replace(source, '.', '_') || '_d_'
+                 || CAST(doc_id AS VARCHAR)
+            ELSE 'doc_' || CAST(doc_id AS VARCHAR) END AS out_name
+FROM documents
+"""
+
 ORACLES["event_rate_1h"] = """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        COUNT(*) AS n_events,

@@ -203,7 +203,9 @@ def gen_change_log(
         spark, n_ghosts, n_convs, seed=seed + 777
     ).select(
         F.col("conv_id"),
-        (F.col("turn_idx") + 1_000_000).cast("int").alias("turn_idx"),
+        # offset must exceed any real turn_idx (the hot conv holds ~30% of
+        # all turns) — 2e9 is safe for int32 up to ~6.6B-turn runs
+        (F.col("turn_idx") + 2_000_000_000).cast("int").alias("turn_idx"),
         "role",
         "text",
         "tool",
