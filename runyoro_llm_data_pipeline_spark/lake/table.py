@@ -254,6 +254,32 @@ class LakeTable:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*paths)
 
+    def read_incremental(
+        self, spark: SparkSession, since_version: int
+    ) -> DataFrame:
+        """Incremental consumption (the downstream-consumer side of CDC):
+        stored rows added by snapshots AFTER ``since_version`` — i.e. the
+        per-key winners written since then, tombstones included so a
+        consumer can propagate deletes. O(new files), no diffing of row
+        contents: file lists are compared, the same way Iceberg
+        incremental scans work. Compaction rewrites are excluded by kind
+        ('base' rewrites carry no new logical changes when produced by
+        compact(), which never adds keys)."""
+        old = {f["path"] for f in self.snapshot(since_version).files}
+        cur = self.current()
+        new_paths = [
+            os.path.join(self.path, f["path"])
+            for f in cur.files
+            if f["path"] not in old and f.get("kind", "base") == "delta"
+        ]
+        schema = cur.schema()
+        if not new_paths:
+            return spark.createDataFrame([], schema)
+        df = spark.read.schema(schema).parquet(*new_paths)
+        # latest-wins within the consumed window (a key may appear in
+        # several new deltas)
+        return collapse_stored(df, self.key_cols)
+
     def read_lineage(self, spark: SparkSession) -> DataFrame:
         snap = self.current()
         paths = [os.path.join(self.path, p) for p in snap.lineage_files]
