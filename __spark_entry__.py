@@ -214,6 +214,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_priority": rel.shipping_priority,
     "nation_order_rollup": rel.nation_order_rollup,
     "anti_join_users_without_errors": rel.users_without_errors,
+    "left_join_customer_orders": rel.customer_order_profile,
+    "semi_join_suppliers": rel.suppliers_with_shipments,
+    "q6_revenue_delta": rel.q6_revenue_delta,
     "quality_gate": rel.quality_gate,
     "listing_hash": rel.listing_hash,
     # text analysis (P2, P4-P6, token/quality/lang/fingerprint)
@@ -367,6 +370,33 @@ FROM events e
 WHERE NOT EXISTS (SELECT 1 FROM events x
                   WHERE x.user_id = e.user_id AND x.event_type = 'error')
 GROUP BY user_id
+""",
+    "left_join_customer_orders": """
+SELECT c_custkey, c_mktsegment,
+       COALESCE(cnt, 0) AS n_orders,
+       COALESCE(CAST(rev AS DOUBLE), 0.0) AS revenue
+FROM customer
+LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY o_custkey) o
+       ON c_custkey = o.o_custkey
+""",
+    "semi_join_suppliers": """
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_suppkey = s.s_suppkey
+                AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00')
+""",
+    "q6_revenue_delta": """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
 """,
     "quality_gate": """
 SELECT event_type, COUNT(*) AS n_events,

@@ -116,6 +116,61 @@ def nation_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join shape: every customer with order count/revenue,
+    zero-filled for order-less customers (null-handling coverage). The
+    aggregate runs BEFORE the join, so the outer join is dim ⋈ tiny-agg —
+    broadcastable — instead of dim ⋈ fact."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(_dec("o_totalprice")).alias("rev"),
+        )
+    )
+    return cust.join(
+        per_cust, cust.c_custkey == per_cust.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("rev").cast("double"), F.lit(0.0)).alias("revenue"),
+    )
+
+
+def suppliers_with_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): suppliers that shipped at least once after
+    a date — the positive-membership twin of the J2 anti-join."""
+    sup = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        sup.join(li, sup.s_suppkey == li.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_nationkey")
+    )
+
+
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, no join — the pushdown
+    showcase (every predicate reaches the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount", 18, 4))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
 def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 generalization (NaN/validity scan, ``scripts/train_llm.py:210-224``):
     per-event-type counts of null / NaN / non-positive values — the
