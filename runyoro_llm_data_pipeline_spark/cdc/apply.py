@@ -123,7 +123,11 @@ def _commit(
     batch_id: int,
     stats: list[dict],
     n_rejected: int,
+    t_start: float | None = None,
 ) -> dict[str, Any]:
+    import time
+
+    sec = round(time.perf_counter() - t_start, 3) if t_start else None
     version = plan["version"]
     if stats:
         min_lsn = min(s["min_lsn"] for s in stats)
@@ -141,6 +145,9 @@ def _commit(
             "watermark_lsn": max(
                 int(snap.summary.get("watermark_lsn", -1)), int(max_lsn)
             ),
+            # per-batch job metrics, queryable from the snapshot history
+            "last_batch_sec": sec,
+            "last_batch_keys": sum(s["row_count"] for s in stats),
         },
         lineage_rel_path=lineage_rel,
         parent=snap,
@@ -148,6 +155,7 @@ def _commit(
     return {
         "status": "applied",
         "batch_id": batch_id,
+        "sec": sec,
         "version": version,
         "affected_buckets": plan["affected_buckets"],
         "rejected_rows": n_rejected,
@@ -201,7 +209,9 @@ def _apply_mor(
     collapse_impl: str = "maxby",
     normalize_impl: str = "jvm",
 ) -> dict[str, Any]:
+    import time
 
+    t_start = time.perf_counter()
     n_total = _fast_count(events)
     valid, _ = validate_events(events)
     obs = Observation(f"admit_b{batch_id}_v{snap.version}")
@@ -246,7 +256,7 @@ def _apply_mor(
         "affected_buckets": sorted({e["bucket"] for e in new_files}),
         "version": version,
     }
-    return _commit(table, snap, plan, batch_id, stats, n_rejected)
+    return _commit(table, snap, plan, batch_id, stats, n_rejected, t_start)
 
 
 def apply_batch(
@@ -276,10 +286,15 @@ def apply_batch(
             collapse_impl=collapse_impl, normalize_impl=normalize_impl,
         )
 
+    import time
+
+    t_start = time.perf_counter()
     valid, rejected = validate_events(events)
     n_rejected = rejected.count()
     if normalize_text:
         valid = valid.withColumn("text", _normalizer(normalize_impl)(F.col("text")))
     changes = collapse_latest_wins(valid, keys=key_cols)
     plan = merge_into(spark, table, changes, key_cols=key_cols, snap=snap)
-    return _commit(table, snap, plan, batch_id, plan["bucket_stats"], n_rejected)
+    return _commit(
+        table, snap, plan, batch_id, plan["bucket_stats"], n_rejected, t_start
+    )

@@ -254,6 +254,28 @@ class LakeTable:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*paths)
 
+    def read_conversation(self, spark: SparkSession, conv_id: str) -> DataFrame:
+        """Point lookup: read ONE conversation by pruning to its hash
+        bucket driver-side — touches 1/num_buckets of the table's files
+        regardless of table size, then row-group stats inside those files
+        narrow further. The per-conversation serving path."""
+        snap = self.current()
+        # compute the bucket with the exact engine expression (1-row local
+        # job — constant-folded, no scan)
+        bucket = spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(conv_id)), F.lit(self.num_buckets))
+            .cast("int").alias("b")
+        ).collect()[0]["b"]
+        df = self.read_buckets(spark, {bucket}, snap)
+        if any(f.get("kind", "base") == "delta" for f in snap.files if f["bucket"] == bucket):
+            df = collapse_stored(df, self.key_cols)
+        out = df.filter(F.col(self.key_cols[0]) == conv_id)
+        if DELETED in out.columns:
+            out = out.filter(~F.coalesce(F.col(DELETED), F.lit(False))).drop(
+                *[c for c in INTERNAL_COLS if c in out.columns]
+            )
+        return out
+
     def read_incremental(
         self, spark: SparkSession, since_version: int
     ) -> DataFrame:
