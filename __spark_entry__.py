@@ -368,7 +368,8 @@ GROUP BY r_name, n_name
 SELECT user_id, COUNT(*) AS n_events
 FROM events e
 WHERE NOT EXISTS (SELECT 1 FROM events x
-                  WHERE x.user_id = e.user_id AND x.event_type = 'error')
+                  WHERE x.user_id = e.user_id AND x.event_type = 'error'
+                    AND x.value > 90)
 GROUP BY user_id
 """,
     "left_join_customer_orders": """

@@ -86,11 +86,16 @@ def shipping_priority(spark: SparkSession, sf_dir: str, segment: str = "BUILDING
 
 
 def users_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2 anti-join (admission-control shape): users with no 'error' event,
-    with their event counts. At CDC scale the right side is the applied-key
-    ledger; here it's the error-user set (broadcast by AQE)."""
+    """J2 anti-join (admission-control shape): users with no *severe*
+    (value > 90) 'error' event, with their event counts. At CDC scale the
+    right side is the applied-key ledger; here it's the severe-error user
+    set (broadcast by AQE)."""
     ev = _t(spark, sf_dir, "events")
-    err_users = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    err_users = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 90))
+        .select("user_id")
+        .distinct()
+    )
     return (
         ev.join(err_users, on="user_id", how="left_anti")
         .groupBy("user_id")
