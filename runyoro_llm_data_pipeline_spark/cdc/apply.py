@@ -214,8 +214,17 @@ def _apply_mor(
     t_start = time.perf_counter()
     n_total = _fast_count(events)
     valid, _ = validate_events(events)
+    # late/duplicate accounting (SURVEY §2.8): events at or below the
+    # table's committed lsn watermark are replays or out-of-order
+    # stragglers — safe to apply (latest-wins is commutative) but worth
+    # surfacing; counted in the same Observation, zero extra scans
+    watermark = int(snap.summary.get("watermark_lsn", -1))
     obs = Observation(f"admit_b{batch_id}_v{snap.version}")
-    valid = valid.observe(obs, F.count(F.lit(1)).alias("n_valid"))
+    valid = valid.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_valid"),
+        F.sum((F.col("lsn") <= F.lit(watermark)).cast("long")).alias("n_late"),
+    )
     if normalize_text:
         valid = valid.withColumn("text", _normalizer(normalize_impl)(F.col("text")))
 
@@ -248,7 +257,9 @@ def _apply_mor(
         salt_cols=keys,
     )
     stats = _footer_stats(table, new_files)
-    n_rejected = n_total - int(obs.get["n_valid"])
+    metrics = obs.get
+    n_rejected = n_total - int(metrics["n_valid"])
+    n_late = int(metrics["n_late"] or 0)
     plan = {
         "new_files": new_files,
         "carried_files": list(snap.files),
@@ -256,7 +267,9 @@ def _apply_mor(
         "affected_buckets": sorted({e["bucket"] for e in new_files}),
         "version": version,
     }
-    return _commit(table, snap, plan, batch_id, stats, n_rejected, t_start)
+    result = _commit(table, snap, plan, batch_id, stats, n_rejected, t_start)
+    result["late_events"] = n_late
+    return result
 
 
 def apply_batch(

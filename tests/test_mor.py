@@ -188,3 +188,40 @@ def _rows_eq(a, b):
     ra = sorted(map(tuple, a.select(*ca).collect()), key=key)
     rb = sorted(map(tuple, b.select(*ca).collect()), key=key)
     return ra == rb
+
+
+def test_late_event_accounting(spark, tmp_lake):
+    """Replayed/out-of-order events at or below the committed watermark are
+    surfaced in the apply result (and remain harmless)."""
+    import datetime
+
+    from runyoro_llm_data_pipeline_spark.cdc.apply import apply_batch
+    from runyoro_llm_data_pipeline_spark.cdc.events import EVENT_SCHEMA
+
+    ts = datetime.datetime(2024, 1, 1)
+    ing = CdcIngest(os.path.join(tmp_lake, "t"), "/nonexistent", num_buckets=4)
+    t = ing.table()
+    r1 = apply_batch(
+        spark, t,
+        spark.createDataFrame(
+            [("insert", "c1", 0, "user", "v1", None, ts, ts, 100, 0)], EVENT_SCHEMA
+        ),
+        0, mode="mor",
+    )
+    assert r1["late_events"] == 0
+    ts2 = datetime.datetime(2024, 1, 2)
+    r2 = apply_batch(
+        spark, t,
+        spark.createDataFrame(
+            [
+                ("upsert", "c1", 0, "user", "stale-dup", None, ts, ts, 100, 1),
+                ("insert", "c1", 1, "user", "fresh", None, ts2, ts2, 200, 1),
+            ],
+            EVENT_SCHEMA,
+        ),
+        1, mode="mor",
+    )
+    assert r2["late_events"] == 1
+    # the stale duplicate did not clobber anything
+    rows = {r["turn_idx"]: r["text"] for r in t.read(spark).collect()}
+    assert rows == {0: "v1", 1: "fresh"}
