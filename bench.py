@@ -50,12 +50,19 @@ HEADLINE = [
 def bench_queries(spark) -> tuple[dict[str, float], dict[str, int]]:
     import __spark_entry__ as entrymod
 
+    # warm file listings + footers once so per-query timings measure the
+    # query, not first-touch filesystem metadata
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+
     qs = entrymod.queries()
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in HEADLINE:
         fn = qs[name]
-        # warm the input cache path once (file listing etc.), time the 2nd run
         t0 = time.perf_counter()
         n = fn(spark, SF_DIR).count()
         times[name] = round(time.perf_counter() - t0, 3)
