@@ -66,7 +66,9 @@ def _write_lineage_driver_side(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rel = os.path.join(LINEAGE_DIR, f"v{version:08d}")
+    import uuid
+
+    rel = os.path.join(LINEAGE_DIR, f"v{version:08d}-{uuid.uuid4().hex[:8]}")
     out_dir = os.path.join(table.path, rel)
     os.makedirs(out_dir, exist_ok=True)
     t = pa.table(

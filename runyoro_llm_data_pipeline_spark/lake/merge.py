@@ -73,14 +73,32 @@ def public_view(df: DataFrame) -> DataFrame:
     return df.filter(~F.coalesce(F.col(DELETED), F.lit(False))).drop(*INTERNAL_COLS)
 
 
+class SchemaConflictError(TypeError):
+    """An existing column arrived with an incompatible type. The contract
+    is additive-only evolution (add nullable columns); type changes need
+    an explicit migration, exactly as in Iceberg's additive mode."""
+
+
 def evolve_schema(table_schema: T.StructType, changes: DataFrame) -> T.StructType:
     """Additive evolution: any non-internal change column missing from the
     table schema is appended (nullable); internal version columns stay last.
-    Drop/rename is out of scope — same contract as Iceberg additive mode."""
-    existing = {f.name for f in table_schema.fields}
+    Drop/rename is out of scope, and a type conflict on an existing column
+    fails loudly instead of corrupting the union."""
+    existing = {f.name: f.dataType for f in table_schema.fields}
     data_fields = [f for f in table_schema.fields if f.name not in INTERNAL_COLS]
     for f in changes.schema.fields:
-        if f.name.startswith("__") or f.name in existing:
+        if f.name.startswith("__"):
+            continue
+        if f.name in existing:
+            if (
+                f.name not in INTERNAL_COLS
+                and f.dataType != existing[f.name]
+                and not isinstance(f.dataType, T.NullType)
+            ):
+                raise SchemaConflictError(
+                    f"column '{f.name}' arrived as {f.dataType.simpleString()} "
+                    f"but the table stores {existing[f.name].simpleString()}"
+                )
             continue
         data_fields.append(T.StructField(f.name, f.dataType, True))
     return T.StructType(data_fields + internal_fields())

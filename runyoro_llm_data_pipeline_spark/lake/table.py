@@ -98,6 +98,11 @@ class Snapshot:
         )
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed this snapshot version first. Re-read the
+    table and re-plan the merge against the new current snapshot."""
+
+
 def _atomic_write(path: str, content: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
@@ -105,6 +110,22 @@ def _atomic_write(path: str, content: str) -> None:
         fh.flush()
         os.fsync(fh.fileno())
     os.rename(tmp, path)  # POSIX atomic — the commit point
+
+
+def _exclusive_write(path: str, content: str) -> None:
+    """Create-exclusive write: fails with CommitConflictError if the file
+    already exists — the optimistic-concurrency primitive (same contract
+    as Iceberg's version-file CAS for file-system catalogs)."""
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        raise CommitConflictError(
+            f"snapshot {os.path.basename(path)} was committed concurrently"
+        ) from e
+    with os.fdopen(fd, "w") as fh:
+        fh.write(content)
+        fh.flush()
+        os.fsync(fh.fileno())
 
 
 def collapse_stored(df: DataFrame, keys: list[str]) -> DataFrame:
@@ -204,9 +225,23 @@ class LakeTable:
             v = s.parent
         return list(reversed(out))
 
-    def _write_snapshot(self, snap: Snapshot, update_pointer: bool = True) -> None:
+    def _write_snapshot(
+        self,
+        snap: Snapshot,
+        update_pointer: bool = True,
+        exclusive: bool = False,
+    ) -> None:
+        """``exclusive=True`` = optimistic-concurrency commit: creating
+        snapshot vN is the CAS — if another writer already produced vN the
+        commit raises CommitConflictError and nothing (incl. the pointer)
+        changes; the caller re-reads and re-plans. Used for data commits;
+        rewrite-in-place callers (expire_snapshots re-parenting) keep the
+        plain atomic rename."""
         snap_path = os.path.join(self.path, SNAP_DIR, f"v{snap.version:08d}.json")
-        _atomic_write(snap_path, snap.to_json())
+        if exclusive:
+            _exclusive_write(snap_path, snap.to_json())
+        else:
+            _atomic_write(snap_path, snap.to_json())
         if update_pointer:
             _atomic_write(
                 os.path.join(self.path, VERSION_POINTER), str(snap.version)
@@ -328,8 +363,13 @@ class LakeTable:
         Uses ``partitionBy`` so file→bucket is structural.
         ``pre_partitioned=True`` skips the repartition — callers that
         already shuffled on the bucket expression (the MOR single-shuffle
-        path) write straight through."""
-        rel_dir = os.path.join(DATA_DIR, f"v{version:08d}")
+        path) write straight through.
+
+        The directory name carries a per-attempt nonce so two writers
+        racing on the same version can never clobber each other's files —
+        the losing committer leaves an orphan directory that no manifest
+        references (age-based orphan cleanup reclaims it)."""
+        rel_dir = os.path.join(DATA_DIR, f"v{version:08d}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel_dir)
         if not pre_partitioned:
             n_out = buckets_hint or self.num_buckets
@@ -445,7 +485,7 @@ class LakeTable:
             summary=summary,
             lineage_files=lineage_files,
         )
-        self._write_snapshot(snap)
+        self._write_snapshot(snap, exclusive=True)
         return snap
 
     # -------------------------------------------------------------- cleanup

@@ -1,0 +1,62 @@
+"""Optimistic-concurrency commits + additive-only schema guard."""
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from runyoro_llm_data_pipeline_spark.cdc.apply import apply_batch
+from runyoro_llm_data_pipeline_spark.cdc.events import EVENT_SCHEMA
+from runyoro_llm_data_pipeline_spark.cdc.ingest import CdcIngest
+from runyoro_llm_data_pipeline_spark.lake.merge import SchemaConflictError
+from runyoro_llm_data_pipeline_spark.lake.table import CommitConflictError
+
+
+def _batch(spark, lsn, batch_id, text="x"):
+    ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=lsn)
+    return spark.createDataFrame(
+        [("insert", "c1", 0, "user", text, None, ts, ts, lsn, batch_id)],
+        EVENT_SCHEMA,
+    )
+
+
+def test_concurrent_commit_conflict_detected(spark, tmp_lake):
+    """Two writers planning against the same parent: the second commit must
+    fail with CommitConflictError, and the table keeps the first writer's
+    state (no lost update, no pointer corruption)."""
+    ing = CdcIngest(os.path.join(tmp_lake, "t"), "/nonexistent", num_buckets=4)
+    t = ing.table()
+    snap = t.current()  # both writers read the same parent
+
+    from runyoro_llm_data_pipeline_spark.cdc.apply import _apply_mor
+
+    r1 = _apply_mor(
+        spark, t, _batch(spark, 1, 0, "writer1"), 0, False, ("conv_id", "turn_idx"),
+        snap,
+    )
+    assert r1["status"] == "applied"
+    with pytest.raises(CommitConflictError):
+        _apply_mor(
+            spark, t, _batch(spark, 2, 1, "writer2"), 1, False,
+            ("conv_id", "turn_idx"), snap,  # stale parent
+        )
+    rows = t.read(spark).collect()
+    assert len(rows) == 1 and rows[0]["text"] == "writer1"
+    # the losing writer retries against the fresh snapshot and succeeds
+    r2 = apply_batch(spark, t, _batch(spark, 2, 1, "writer2"), 1, mode="mor")
+    assert r2["status"] == "applied"
+    assert t.read(spark).collect()[0]["text"] == "writer2"
+
+
+def test_schema_type_conflict_rejected(spark, tmp_lake):
+    ing = CdcIngest(os.path.join(tmp_lake, "t"), "/nonexistent", num_buckets=4)
+    t = ing.table()
+    apply_batch(spark, t, _batch(spark, 1, 0), 0, mode="mor")
+    bad = _batch(spark, 2, 1).withColumn("role", F.lit(7))  # string → int
+    with pytest.raises(SchemaConflictError, match="role"):
+        apply_batch(spark, t, bad, 1, mode="mor")
+    # table unchanged and still writable after the rejected batch
+    assert t.read(spark).count() == 1
+    ok = apply_batch(spark, t, _batch(spark, 3, 2, "after"), 2, mode="mor")
+    assert ok["status"] == "applied"
