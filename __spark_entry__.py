@@ -213,6 +213,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_revenue": rel.segment_revenue,
     "shipping_priority": rel.shipping_priority,
     "nation_order_rollup": rel.nation_order_rollup,
+    "revenue_rollup": rel.revenue_rollup,
     "anti_join_users_without_errors": rel.users_without_errors,
     "left_join_customer_orders": rel.customer_order_profile,
     "semi_join_suppliers": rel.suppliers_with_shipments,
@@ -363,6 +364,15 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
+""",
+    "revenue_rollup": """
+SELECT r_name, n_name, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
 """,
     "anti_join_users_without_errors": """
 SELECT user_id, COUNT(*) AS n_events

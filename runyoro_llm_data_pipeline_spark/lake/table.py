@@ -489,6 +489,60 @@ class LakeTable:
         return snap
 
     # -------------------------------------------------------------- cleanup
+    def cleanup_orphans(self, min_age_seconds: float = 3600) -> int:
+        """Delete data/lineage files referenced by NO snapshot in the
+        retained history (e.g. left by a writer that lost the commit race
+        or crashed mid-write), provided they are older than
+        ``min_age_seconds`` — the age guard keeps in-flight writers' files
+        safe, exactly like Iceberg's orphan-file removal."""
+        import time
+
+        live: set[str] = set()
+        for s in self.history():
+            live |= {f["path"] for f in s.files}
+            live |= set(s.lineage_files)
+        def referenced(rel: str) -> bool:
+            # lineage manifests reference directories; data manifests
+            # reference files — check both granularities
+            return any(p == rel or rel.startswith(p + os.sep) for p in live)
+
+        # version dirs (data/vNNN-nonce, lineage/vNNN-nonce) that hold any
+        # referenced content: writer bookkeeping files (_SUCCESS, .crc —
+        # never listed in manifests) inside them are NOT orphans
+        live_vdirs = {os.sep.join(p.split(os.sep)[:2]) for p in live}
+
+        now = time.time()
+        removed = 0
+        for sub in (DATA_DIR, LINEAGE_DIR):
+            root = os.path.join(self.path, sub)
+            if not os.path.isdir(root):
+                continue
+            for dirpath, _, filenames in os.walk(root):
+                for fn in filenames:
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(full, self.path)
+                    if referenced(rel):
+                        continue
+                    vdir = os.sep.join(rel.split(os.sep)[:2])
+                    if not fn.endswith(".parquet") and vdir in live_vdirs:
+                        continue
+                    try:
+                        if now - os.path.getmtime(full) >= min_age_seconds:
+                            os.remove(full)
+                            removed += 1
+                    except OSError:
+                        pass
+        # prune now-empty dirs
+        for sub in (DATA_DIR, LINEAGE_DIR):
+            root = os.path.join(self.path, sub)
+            for dirpath, dirnames, filenames in list(os.walk(root, topdown=False)):
+                if dirpath != root and not dirnames and not filenames:
+                    try:
+                        os.rmdir(dirpath)
+                    except OSError:
+                        pass
+        return removed
+
     def expire_snapshots(self, keep_last: int = 2) -> int:
         """Delete snapshot manifests (and data files referenced by no kept
         snapshot) older than the last ``keep_last`` in the commit chain —

@@ -176,6 +176,25 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy aggregate (region → nation → grand total) — the
+    grouping-sets family the reference lacks entirely; one pass, subtotal
+    rows carry nulls per ANSI semantics."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    orders = _t(spark, sf_dir, "orders")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+    )
+
+
 def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 generalization (NaN/validity scan, ``scripts/train_llm.py:210-224``):
     per-event-type counts of null / NaN / non-positive values — the

@@ -60,3 +60,27 @@ def test_schema_type_conflict_rejected(spark, tmp_lake):
     assert t.read(spark).count() == 1
     ok = apply_batch(spark, t, _batch(spark, 3, 2, "after"), 2, mode="mor")
     assert ok["status"] == "applied"
+
+
+def test_orphan_cleanup_after_lost_race(spark, tmp_lake):
+    """The losing writer's unreferenced data files are reclaimed by
+    cleanup_orphans once old enough; referenced files are untouched."""
+    from runyoro_llm_data_pipeline_spark.cdc.apply import _apply_mor
+
+    ing = CdcIngest(os.path.join(tmp_lake, "t"), "/nonexistent", num_buckets=4)
+    t = ing.table()
+    snap = t.current()
+    _apply_mor(spark, t, _batch(spark, 1, 0, "w1"), 0, False,
+               ("conv_id", "turn_idx"), snap)
+    with pytest.raises(CommitConflictError):
+        _apply_mor(spark, t, _batch(spark, 2, 1, "w2"), 1, False,
+                   ("conv_id", "turn_idx"), snap)
+    # fresh files: age guard protects them
+    assert t.cleanup_orphans(min_age_seconds=3600) == 0
+    removed = t.cleanup_orphans(min_age_seconds=0)
+    assert removed > 0
+    # table still reads fine and a new commit works
+    assert t.read(spark).collect()[0]["text"] == "w1"
+    r = apply_batch(spark, t, _batch(spark, 2, 1, "w2"), 1, mode="mor")
+    assert r["status"] == "applied"
+    assert t.cleanup_orphans(min_age_seconds=0) == 0  # nothing orphaned now

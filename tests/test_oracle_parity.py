@@ -48,8 +48,9 @@ def _norm_cell(v):
 
 def _canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
     return sorted(
-        tuple(_norm_cell(r[i]) for i in order) for r in rows
+        out, key=lambda t: tuple((v is None, str(v)) for v in t)
     )
 
 
