@@ -141,7 +141,9 @@ def q_text_clean_p2(spark, sf_dir):
 def q_json_props(spark, sf_dir):
     return _ev(spark, sf_dir).select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("props_k"),
+        F.coalesce(
+            F.get_json_object("props", "$.k").cast("long"), F.lit(-1)
+        ).alias("props_k"),
     )
 
 
@@ -179,7 +181,7 @@ def q_source_dispatch(spark, sf_dir):
     )
     return d.select(
         "doc_id",
-        detect_source_type(path).alias("source_type"),
+        F.coalesce(detect_source_type(path), F.lit("unknown")).alias("source_type"),
         output_name(path).alias("out_name"),
     )
 
@@ -366,7 +368,9 @@ JOIN region   ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
 """,
     "revenue_rollup": """
-SELECT r_name, n_name, COUNT(*) AS n_orders,
+SELECT COALESCE(r_name, 'ALL') AS r_name,
+       COALESCE(n_name, 'ALL') AS n_name,
+       COUNT(*) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -478,7 +482,8 @@ SELECT doc_id,
 FROM toks
 """,
     "json_props": """
-SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+SELECT event_id,
+       COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS props_k
 FROM events
 """,
     "dedup_exact": """
@@ -583,7 +588,7 @@ SELECT doc_id,
        CASE doc_id % 7
          WHEN 0 THEN 'text_file' WHEN 1 THEN 'pdf' WHEN 2 THEN 'audio'
          WHEN 3 THEN 'video'     WHEN 4 THEN 'image'
-         WHEN 6 THEN 'website_static' ELSE NULL END AS source_type,
+         WHEN 6 THEN 'website_static' ELSE 'unknown' END AS source_type,
        CASE WHEN doc_id % 7 = 6
             THEN 'example_com_' || replace(source, '.', '_') || '_d_'
                  || CAST(doc_id AS VARCHAR)

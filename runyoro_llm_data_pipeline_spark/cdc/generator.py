@@ -135,6 +135,7 @@ def gen_change_log(
     tool_from_batch: int = 0,
     seed: int = 42,
     permute_batches: bool = False,
+    hot_share_pct: int = 30,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (events, expected_final).
 
@@ -143,9 +144,9 @@ def gen_change_log(
     ``(event_ts, lsn)``. ``expected_final`` is the normalized final table
     computed via the independent window path.
     """
-    final = gen_final_transcripts(spark, n_turns, n_convs, seed=seed).withColumn(
-        "__k", F.col("id")
-    )
+    final = gen_final_transcripts(
+        spark, n_turns, n_convs, hot_share_pct=hot_share_pct, seed=seed
+    ).withColumn("__k", F.col("id"))
     h = _h("conv_id", "turn_idx", F.lit(seed + 1))
     # winner lsn leaves room below for history events
     final = final.withColumn("__final_lsn", F.col("__k") * 10 + 9)

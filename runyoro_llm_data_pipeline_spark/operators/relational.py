@@ -189,9 +189,17 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
-    return joined.rollup("r_name", "n_name").agg(
+    out = joined.rollup("r_name", "n_name").agg(
         F.count("*").alias("n_orders"),
         F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+    )
+    # subtotal NULLs → 'ALL' sentinel: keeps the result null-free for
+    # comparators that sort raw tuples
+    return out.select(
+        F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+        F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+        "n_orders",
+        "revenue",
     )
 
 

@@ -187,3 +187,21 @@ def test_snapshot_expiry(spark, log, tmp_lake):
     assert removed > 0
     assert len(t.history()) == 2
     assert _sorted_rows(t.read(spark)) == expected
+
+
+def test_extreme_skew_hot_conversation(spark, tmp_lake, tmp_path_factory):
+    """90% of all turns in ONE conversation: the map-side-combined collapse
+    and salted bucket writes must keep correctness (and not OOM a task).
+    Perf evidence for the skew story is in BENCH.md/PLANS.md; this pins
+    correctness under pathological skew."""
+    d = str(tmp_path_factory.mktemp("skew"))
+    events, expected = gen_change_log(
+        spark, n_turns=2000, n_convs=10, n_batches=3, hot_share_pct=90
+    )
+    write_batch_files(events, d)
+    ing = CdcIngest(os.path.join(tmp_lake, "t"), d, num_buckets=8, mode="mor")
+    ing.run(spark)
+    final = ing.table().read(spark)
+    assert _sorted_rows(final) == _expected_rows(expected)
+    hot = final.filter(F.col("conv_id") == "conv_hot").count()
+    assert hot > 0.8 * final.count()
