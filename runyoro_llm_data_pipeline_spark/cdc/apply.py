@@ -284,6 +284,7 @@ def apply_batch(
     mode: str = "cow",
     collapse_impl: str = "maxby",
     normalize_impl: str = "jvm",
+    quarantine_dir: str | None = None,
 ) -> dict[str, Any]:
     """``mode='cow'`` rewrites affected buckets pre-collapsed (read-
     optimized); ``mode='mor'`` appends per-bucket delta files on a
@@ -294,6 +295,16 @@ def apply_batch(
     snap = table.current()
     if str(batch_id) in snap.applied:
         return {"status": "skipped", "batch_id": batch_id, "version": snap.version}
+
+    if quarantine_dir:
+        # materialize rejected rows for inspection/replay-after-fix —
+        # generalizes the reference's skip-and-log of unsupported sources
+        # (scripts/process_raw_data.py:52). Optional: costs one extra
+        # filtered scan of the batch only when enabled.
+        _, rejected = validate_events(events)
+        rejected.write.mode("overwrite").parquet(
+            os.path.join(quarantine_dir, f"batch_{batch_id:05d}")
+        )
 
     if mode == "mor":
         return _apply_mor(

@@ -41,6 +41,7 @@ class CdcIngest:
         compact_max_files: int | None = 4,
         collapse_impl: str = "maxby",
         normalize_impl: str = "jvm",
+        quarantine_dir: str | None = None,
     ):
         """``mode='mor'`` + ``compact_max_files=k`` is the high-throughput
         configuration: batches append O(batch) delta files; any bucket
@@ -55,6 +56,7 @@ class CdcIngest:
         self.compact_max_files = compact_max_files
         self.collapse_impl = collapse_impl
         self.normalize_impl = normalize_impl
+        self.quarantine_dir = quarantine_dir
 
     def table(self) -> LakeTable:
         if os.path.exists(os.path.join(self.table_path, "_VERSION")):
@@ -123,6 +125,7 @@ class CdcIngest:
                     mode=self.mode,
                     collapse_impl=self.collapse_impl,
                     normalize_impl=self.normalize_impl,
+                    quarantine_dir=self.quarantine_dir,
                 )
             )
             if self.mode == "mor" and self.compact_max_files is not None:

@@ -543,6 +543,40 @@ class LakeTable:
                         pass
         return removed
 
+    def rebucket(self, spark: SparkSession, new_num_buckets: int) -> None:
+        """Change the table's bucket count (a growing table needs more
+        buckets for write parallelism and point-lookup pruning). One
+        full collapse+rewrite committed as a data-only snapshot — the
+        applied-offset map is untouched, so ingest semantics are
+        unaffected; readers before/after the commit see consistent state
+        (snapshot isolation)."""
+        snap = self.current()
+        df = self.read_buckets(spark, {f["bucket"] for f in snap.files}, snap)
+        collapsed = collapse_stored(df, self.key_cols) if any(
+            f.get("kind", "base") == "delta" for f in snap.files
+        ) else df
+        old_n = self.num_buckets
+        self.num_buckets = new_num_buckets
+        try:
+            out = collapsed.withColumn(
+                "__bucket", self.bucket_expr(self.key_cols[0])
+            )
+            version = snap.version + 1
+            new_files = self.write_data_files(
+                out, version, buckets_hint=new_num_buckets, kind="base"
+            )
+            self.commit(
+                new_files=new_files,
+                carried_files=[],
+                schema=snap.schema(),
+                applied_update={},
+                summary_update={"num_buckets": new_num_buckets},
+                parent=snap,
+            )
+        except BaseException:
+            self.num_buckets = old_n
+            raise
+
     def expire_snapshots(self, keep_last: int = 2) -> int:
         """Delete snapshot manifests (and data files referenced by no kept
         snapshot) older than the last ``keep_last`` in the commit chain —

@@ -69,23 +69,23 @@ def cosine_topk_bruteforce(
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 
 
-def _hyperplane(plane: int, dim: int) -> list[float]:
+def _hyperplane(plane: int, dim: int, table: int = 0) -> list[float]:
     """Deterministic pseudo-random hyperplane: component d ∈ {-1,+1} from
-    md5(plane|d) parity — fixed for all time, engine-independent."""
+    md5(table|plane|d) parity — fixed for all time, engine-independent."""
     import hashlib
 
     out = []
     for d in range(dim):
-        h = hashlib.md5(f"{plane}|{d}".encode()).hexdigest()
+        h = hashlib.md5(f"{table}|{plane}|{d}".encode()).hexdigest()
         out.append(1.0 if int(h[0], 16) >= 8 else -1.0)
     return out
 
 
-def rh_signature_col(vec, n_planes: int, dim: int):
+def rh_signature_col(vec, n_planes: int, dim: int, table: int = 0):
     """Random-hyperplane LSH signature: bit p = sign(v · h_p)."""
     bits = []
     for p in range(n_planes):
-        hp = F.array(*[F.lit(c) for c in _hyperplane(p, dim)])
+        hp = F.array(*[F.lit(c) for c in _hyperplane(p, dim, table)])
         bits.append(F.when(_dot(vec, hp) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
@@ -94,22 +94,38 @@ def cosine_topk_lsh(
     embeddings: DataFrame,
     query_vec_id: int = 0,
     k: int = 10,
-    n_planes: int = 4,
+    n_planes: int = 3,
     dim: int = 64,
     vec_col: str = "embedding",
+    n_tables: int = 12,
 ) -> DataFrame:
     """ANN: score only vectors whose hyperplane signature matches the
-    query's (expected candidate fraction ≈ 2^-n_planes; multi-probe /
-    multi-table extensions reuse the same bucket-join shape). Approximate —
-    driver records the rows-only check for this one."""
+    query's in at least one of ``n_tables`` independent hash tables
+    (standard multi-table LSH: per-table candidate fraction ≈ 2^-n_planes,
+    union across tables recovers recall; recall pinned by
+    tests/test_similarity.py). Approximate — driver records the rows-only
+    check for this one."""
     emb = embeddings.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
-    sig = emb.withColumn("sig", rh_signature_col(F.col("v"), n_planes, dim))
-    q = sig.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("v").alias("q"), F.col("sig").alias("qsig")
+    sigs = emb.select(
+        "vec_id",
+        "v",
+        *[
+            rh_signature_col(F.col("v"), n_planes, dim, table=t).alias(f"sig{t}")
+            for t in range(n_tables)
+        ],
     )
+    q = sigs.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("q"),
+        *[F.col(f"sig{t}").alias(f"qsig{t}") for t in range(n_tables)],
+    )
+    match_any = None
+    for t in range(n_tables):
+        m = F.col(f"sig{t}") == F.col(f"qsig{t}")
+        match_any = m if match_any is None else (match_any | m)
     cands = (
-        sig.filter(F.col("vec_id") != query_vec_id)
-        .join(F.broadcast(q), F.col("sig") == F.col("qsig"))
+        sigs.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .filter(match_any)
     )
     return (
         cands.select(

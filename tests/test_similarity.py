@@ -1,0 +1,100 @@
+"""ANN recall + quarantine + rebucket operational features."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from runyoro_llm_data_pipeline_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_multi_table_lsh_recall(spark):
+    """Recall@10 of multi-table LSH vs exact brute force, averaged over
+    several query points — must clear 0.8 at the default 3 planes × 12
+    tables (measured 0.975 on this corpus; each table alone catches only
+    same-octant neighbours, the union recovers the rest). Deterministic:
+    fixed hyperplanes, fixed queries."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    recalls = []
+    for q in [0, 7, 42, 99]:
+        exact = {
+            r["vec_id"]
+            for r in cosine_topk_bruteforce(emb, query_vec_id=q, k=10).collect()
+        }
+        approx = {
+            r["vec_id"]
+            for r in cosine_topk_lsh(emb, query_vec_id=q, k=10).collect()
+        }
+        recalls.append(len(exact & approx) / 10)
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.8, recalls
+
+
+def test_quarantine_sink(spark, tmp_lake, tmp_path_factory):
+    import datetime
+
+    from runyoro_llm_data_pipeline_spark.cdc.apply import apply_batch
+    from runyoro_llm_data_pipeline_spark.cdc.events import EVENT_SCHEMA
+    from runyoro_llm_data_pipeline_spark.cdc.ingest import CdcIngest
+    from pyspark.sql import types as T
+
+    ts = datetime.datetime(2024, 1, 1)
+    relaxed = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in EVENT_SCHEMA.fields]
+    )
+    df = spark.createDataFrame(
+        [
+            ("insert", "c1", 0, "user", "good", None, ts, ts, 1, 0),
+            ("badop", "c1", 1, "user", "bad op", None, ts, ts, 2, 0),
+            ("insert", None, 2, "user", "bad key", None, ts, ts, 3, 0),
+        ],
+        relaxed,
+    )
+    qdir = str(tmp_path_factory.mktemp("quarantine"))
+    ing = CdcIngest(os.path.join(tmp_lake, "t"), "/nonexistent", num_buckets=4)
+    r = apply_batch(
+        spark, ing.table(), df, 0, mode="mor", quarantine_dir=qdir
+    )
+    assert r["rejected_rows"] == 2
+    quarantined = spark.read.parquet(os.path.join(qdir, "batch_00000"))
+    assert quarantined.count() == 2
+    assert set(
+        x["op"] for x in quarantined.select("op").collect()
+    ) == {"badop", "insert"}
+
+
+def test_rebucket_preserves_state(spark, tmp_lake, tmp_path_factory):
+    from runyoro_llm_data_pipeline_spark.cdc.generator import (
+        gen_change_log,
+        write_batch_files,
+    )
+    from runyoro_llm_data_pipeline_spark.cdc.ingest import CdcIngest
+    from runyoro_llm_data_pipeline_spark.lake.table import LakeTable
+
+    d = str(tmp_path_factory.mktemp("rb"))
+    events, expected = gen_change_log(spark, n_turns=300, n_convs=15, n_batches=2)
+    write_batch_files(events, d)
+    ing = CdcIngest(os.path.join(tmp_lake, "t"), d, num_buckets=4, mode="mor")
+    ing.run(spark)
+    t = ing.table()
+    before = sorted(
+        map(tuple, t.read(spark).select("conv_id", "turn_idx", "text").collect())
+    )
+    t.rebucket(spark, 16)
+    t2 = LakeTable.load(os.path.join(tmp_lake, "t"))
+    assert t2.num_buckets == 16
+    after = sorted(
+        map(tuple, t2.read(spark).select("conv_id", "turn_idx", "text").collect())
+    )
+    assert before == after
+    assert {f["bucket"] for f in t2.current().files} <= set(range(16))
+    # point lookup works against the new layout
+    conv = before[0][0]
+    assert t2.read_conversation(spark, conv).count() == sum(
+        1 for r in before if r[0] == conv
+    )
