@@ -126,6 +126,7 @@ def _commit(
     stats: list[dict],
     n_rejected: int,
     t_start: float | None = None,
+    summary_extra: dict | None = None,
 ) -> dict[str, Any]:
     import time
 
@@ -150,6 +151,7 @@ def _commit(
             # per-batch job metrics, queryable from the snapshot history
             "last_batch_sec": sec,
             "last_batch_keys": sum(s["row_count"] for s in stats),
+            **(summary_extra or {}),
         },
         lineage_rel_path=lineage_rel,
         parent=snap,
@@ -210,6 +212,7 @@ def _apply_mor(
     snap,
     collapse_impl: str = "maxby",
     normalize_impl: str = "jvm",
+    summary_extra: dict | None = None,
 ) -> dict[str, Any]:
     import time
 
@@ -269,7 +272,9 @@ def _apply_mor(
         "affected_buckets": sorted({e["bucket"] for e in new_files}),
         "version": version,
     }
-    result = _commit(table, snap, plan, batch_id, stats, n_rejected, t_start)
+    result = _commit(
+        table, snap, plan, batch_id, stats, n_rejected, t_start, summary_extra
+    )
     result["late_events"] = n_late
     return result
 
@@ -285,6 +290,7 @@ def apply_batch(
     collapse_impl: str = "maxby",
     normalize_impl: str = "jvm",
     quarantine_dir: str | None = None,
+    summary_extra: dict | None = None,
 ) -> dict[str, Any]:
     """``mode='cow'`` rewrites affected buckets pre-collapsed (read-
     optimized); ``mode='mor'`` appends per-bucket delta files on a
@@ -310,6 +316,7 @@ def apply_batch(
         return _apply_mor(
             spark, table, events, batch_id, normalize_text, key_cols, snap,
             collapse_impl=collapse_impl, normalize_impl=normalize_impl,
+            summary_extra=summary_extra,
         )
 
     import time
@@ -322,5 +329,6 @@ def apply_batch(
     changes = collapse_latest_wins(valid, keys=key_cols)
     plan = merge_into(spark, table, changes, key_cols=key_cols, snap=snap)
     return _commit(
-        table, snap, plan, batch_id, plan["bucket_stats"], n_rejected, t_start
+        table, snap, plan, batch_id, plan["bucket_stats"], n_rejected, t_start,
+        summary_extra,
     )
