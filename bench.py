@@ -70,7 +70,7 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, int]]:
     return times, rows
 
 
-def bench_cdc(spark, n_turns: int = 150_000) -> dict:
+def bench_cdc(spark, n_turns: int = 1_000_000) -> dict:
     """End-to-end CDC apply throughput: synthesize a deterministic change
     log (~1.7 events/turn: stale versions, duplicate deliveries, deletes,
     ghosts, hot-key skew), materialize it, then time ingest → committed

@@ -337,6 +337,38 @@ class LakeTable:
         # several new deltas)
         return collapse_stored(df, self.key_cols)
 
+    def create_view(
+        self, spark: SparkSession, name: str, version: int | None = None
+    ) -> None:
+        """Expose the table (tombstone-filtered public view, MOR-collapsed)
+        as a temp view so consumers can ``spark.sql`` against it."""
+        self.read(spark, version=version).createOrReplaceTempView(name)
+
+    def metrics_history(self) -> list[dict[str, Any]]:
+        """Per-commit job metrics from the snapshot chain — the queryable
+        form of the reference's ledger entries (throughput report)."""
+        out = []
+        prev_applied = -1
+        for s in self.history():
+            if "last_batch_id" not in s.summary:
+                prev_applied = max(prev_applied, len(s.applied))
+                continue
+            # compaction/maintenance commits inherit the parent summary —
+            # only snapshots that actually applied a new batch count
+            if len(s.applied) <= prev_applied:
+                continue
+            prev_applied = len(s.applied)
+            out.append(
+                {
+                    "version": s.version,
+                    "batch_id": s.summary.get("last_batch_id"),
+                    "sec": s.summary.get("last_batch_sec"),
+                    "keys": s.summary.get("last_batch_keys"),
+                    "watermark_lsn": s.summary.get("watermark_lsn"),
+                }
+            )
+        return out
+
     def read_lineage(self, spark: SparkSession) -> DataFrame:
         snap = self.current()
         paths = [os.path.join(self.path, p) for p in snap.lineage_files]

@@ -63,3 +63,21 @@ def test_incremental_read_between_versions(spark, tmp_lake, tmp_path_factory):
         "conv_id", "turn_idx", "text"
     )
     assert pub.exceptAll(live).count() == 0 and live.exceptAll(pub).count() == 0
+
+
+def test_sql_view_and_metrics_history(spark, tmp_lake, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("view"))
+    events, expected = gen_change_log(spark, n_turns=200, n_convs=10, n_batches=2)
+    write_batch_files(events, d)
+    ing = CdcIngest(os.path.join(tmp_lake, "t"), d, num_buckets=4, mode="mor")
+    ing.run(spark)
+    t = ing.table()
+    t.create_view(spark, "transcripts")
+    n = spark.sql(
+        "SELECT conv_id, count(*) AS n FROM transcripts GROUP BY conv_id"
+    ).agg(F.sum("n")).collect()[0][0]
+    assert n == expected.count()
+    hist = t.metrics_history()
+    assert len(hist) == 2
+    assert all(h["sec"] > 0 and h["keys"] > 0 for h in hist)
+    assert hist[-1]["watermark_lsn"] >= hist[0]["watermark_lsn"]
