@@ -92,3 +92,52 @@ def test_turn_rate_and_sessions_batch_parity(spark, log):
     # session bounds are consistent
     bad = cs.filter(F.col("session_end") < F.col("session_start")).count()
     assert bad == 0
+
+
+def test_stateful_running_totals(spark, log, tmp_lake):
+    """applyInPandasWithState carries per-conversation state across
+    micro-batches: the final per-conv running total equals the batch
+    ground truth even though each micro-batch sees only a slice."""
+    from runyoro_llm_data_pipeline_spark.cdc.events import EVENT_SCHEMA
+    from runyoro_llm_data_pipeline_spark.streaming.stateful import (
+        running_conversation_totals,
+    )
+
+    src, _, events = log
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+    )
+    totals = running_conversation_totals(stream)
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(tmp_lake, "cp_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql(
+        "SELECT conv_id, max(n_events) AS n, max(max_lsn) AS mx "
+        "FROM running_totals GROUP BY conv_id"
+    )
+    got = {r["conv_id"]: (r["n"], r["mx"]) for r in out.collect()}
+    # ground truth from the source dir itself (an earlier test may have
+    # appended extra event files to the shared fixture)
+    from runyoro_llm_data_pipeline_spark.cdc.events import EVENT_SCHEMA as ES
+
+    ground = (
+        spark.read.schema(ES)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    want = {
+        r["conv_id"]: (r["n"], r["mx"])
+        for r in ground.groupBy("conv_id")
+        .agg(F.count("*").alias("n"), F.max("lsn").alias("mx"))
+        .collect()
+    }
+    assert got == want
