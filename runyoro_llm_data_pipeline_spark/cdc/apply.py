@@ -45,9 +45,14 @@ from pyspark.sql import functions as F
 from runyoro_llm_data_pipeline_spark.cdc.dedup import (
     collapse_latest_wins,
     collapse_latest_wins_arrow,
+    collapse_latest_wins_bucketed,
     payload_columns,
 )
-from runyoro_llm_data_pipeline_spark.cdc.events import validate_events
+from runyoro_llm_data_pipeline_spark.cdc.events import (
+    conform_events,
+    validate_events,
+    validity_condition,
+)
 from runyoro_llm_data_pipeline_spark.lake.merge import evolve_schema, merge_into
 from runyoro_llm_data_pipeline_spark.lake.table import (
     DELETED,
@@ -87,11 +92,15 @@ def _write_lineage_driver_side(
 
 def _footer_stats(table: LakeTable, entries: list[dict]) -> list[dict]:
     """Per-bucket (min_lsn, max_lsn, row_count) from the written files'
-    parquet footers — no Spark job, exact, and O(files) driver-side."""
+    parquet footers — no Spark job, exact, and O(files) driver-side.
+    Footers are fetched with a thread pool: this sits on the serial
+    commit path of every batch, and ~64 sequential footer opens are a
+    fixed cost that eats scaling headroom on fast multi-executor runs."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
-    agg: dict[int, dict] = {}
-    for e in entries:
+    def one(e: dict):
         md = pq.ParquetFile(os.path.join(table.path, e["path"])).metadata
         lsn_idx = next(
             i for i in range(md.num_columns)
@@ -103,11 +112,18 @@ def _footer_stats(table: LakeTable, entries: list[dict]) -> list[dict]:
             if st is not None and st.has_min_max:
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
+        return e["bucket"], md.num_rows, lo, hi
+
+    with ThreadPoolExecutor(max_workers=min(16, max(len(entries), 1))) as ex:
+        results = list(ex.map(one, entries))
+
+    agg: dict[int, dict] = {}
+    for bucket, n_rows, lo, hi in results:
         b = agg.setdefault(
-            e["bucket"],
-            {"__bucket": e["bucket"], "min_lsn": None, "max_lsn": None, "row_count": 0},
+            bucket,
+            {"__bucket": bucket, "min_lsn": None, "max_lsn": None, "row_count": 0},
         )
-        b["row_count"] += md.num_rows
+        b["row_count"] += n_rows
         if lo is not None:
             b["min_lsn"] = lo if b["min_lsn"] is None else min(b["min_lsn"], lo)
             b["max_lsn"] = hi if b["max_lsn"] is None else max(b["max_lsn"], hi)
@@ -169,27 +185,6 @@ def _commit(
     }
 
 
-def _fast_count(events: DataFrame) -> int:
-    """Total input rows without a Spark job when the frame is a plain
-    parquet scan: sum the file footers' num_rows driver-side (pyarrow).
-    Falls back to ``count()`` for any other plan shape."""
-    import pyarrow.parquet as pq
-
-    try:
-        files = events.inputFiles()
-    except Exception:
-        files = []
-    if files and all(f.endswith(".parquet") for f in files):
-        try:
-            total = 0
-            for f in files:
-                total += pq.ParquetFile(f.removeprefix("file:")).metadata.num_rows
-            return total
-        except OSError:
-            pass
-    return events.count()
-
-
 def _normalizer(impl: str):
     """P2 text normalization column fn: 'jvm' = whole-stage-codegen regex
     (fast path; Unicode-version caveat in operators/text.py), 'pandas' =
@@ -217,19 +212,25 @@ def _apply_mor(
     import time
 
     t_start = time.perf_counter()
-    n_total = _fast_count(events)
-    valid, _ = validate_events(events)
-    # late/duplicate accounting (SURVEY §2.8): events at or below the
-    # table's committed lsn watermark are replays or out-of-order
-    # stragglers — safe to apply (latest-wins is commutative) but worth
-    # surfacing; counted in the same Observation, zero extra scans
+    # admission accounting (total / valid / late) rides the write job's own
+    # scan via ONE Observation placed BELOW the validity filter, so n_total
+    # counts exactly the rows this batch frame produces — filtered sources
+    # (e.g. an lsn-range scan of a shared log) are counted correctly, and
+    # no separate count job or footer arithmetic is needed. Late events
+    # (SURVEY §2.8): at or below the committed lsn watermark — replays or
+    # out-of-order stragglers, safe under latest-wins but surfaced.
     watermark = int(snap.summary.get("watermark_lsn", -1))
+    cond = validity_condition()
     obs = Observation(f"admit_b{batch_id}_v{snap.version}")
-    valid = valid.observe(
+    conformed = conform_events(events).observe(
         obs,
-        F.count(F.lit(1)).alias("n_valid"),
-        F.sum((F.col("lsn") <= F.lit(watermark)).cast("long")).alias("n_late"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(cond.cast("long")).alias("n_valid"),
+        F.sum((cond & (F.col("lsn") <= F.lit(watermark))).cast("long")).alias(
+            "n_late"
+        ),
     )
+    valid = conformed.filter(cond)
     if normalize_text:
         valid = valid.withColumn("text", _normalizer(normalize_impl)(F.col("text")))
 
@@ -239,6 +240,15 @@ def _apply_mor(
         # below streams straight through without repartitioning
         collapsed = collapse_latest_wins_arrow(
             valid, keys=key_cols, partition_expr=table.bucket_expr(key_cols[0])
+        )
+        pre_partitioned = True
+    elif collapse_impl == "bucket":
+        # one shuffle total, pure JVM: fine-partitioned exchange whose
+        # partitioning satisfies the aggregate's clustering (no second
+        # exchange) and is already bucket-aligned for the write
+        collapsed = collapse_latest_wins_bucketed(
+            valid, keys=key_cols, key_col=key_cols[0],
+            num_buckets=table.num_buckets,
         )
         pre_partitioned = True
     else:
@@ -263,7 +273,7 @@ def _apply_mor(
     )
     stats = _footer_stats(table, new_files)
     metrics = obs.get
-    n_rejected = n_total - int(metrics["n_valid"])
+    n_rejected = int(metrics["n_total"]) - int(metrics["n_valid"])
     n_late = int(metrics["n_late"] or 0)
     plan = {
         "new_files": new_files,
@@ -286,15 +296,16 @@ def apply_batch(
     batch_id: int,
     normalize_text: bool = True,
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
-    mode: str = "cow",
+    mode: str = "mor",
     collapse_impl: str = "maxby",
     normalize_impl: str = "jvm",
     quarantine_dir: str | None = None,
     summary_extra: dict | None = None,
 ) -> dict[str, Any]:
-    """``mode='cow'`` rewrites affected buckets pre-collapsed (read-
-    optimized); ``mode='mor'`` appends per-bucket delta files on a
-    two-job graph (write-optimized — pair with ``table.compact()``).
+    """``mode='mor'`` (default — the high-throughput path all published
+    numbers use) appends per-bucket delta files on a two-job graph
+    (write-optimized — pair with ``table.compact()``); ``mode='cow'``
+    rewrites affected buckets pre-collapsed (read-optimized).
     ``collapse_impl``: 'arrow' = single-shuffle mapInPandas dedup,
     'maxby' = JVM aggregate + bucket repartition. ``normalize_impl``:
     'jvm' fast path or 'pandas' CPython-bit-exact path."""

@@ -150,6 +150,67 @@ def collapse_latest_wins_arrow(
     return arranged.mapInPandas(dedup_first, schema=out_schema)
 
 
+def collapse_latest_wins_bucketed(
+    events: DataFrame,
+    keys=KEY_COLS,
+    key_col: str = "conv_id",
+    num_buckets: int = 16,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Single-shuffle, write-aligned pure-JVM collapse.
+
+    One hash repartition on ``__fine = pmod(xxhash64(key), P)`` where
+    ``P`` is a multiple of ``num_buckets`` — so every fine cell lies
+    wholly inside one bucket — followed by
+    ``groupBy(__fine, __bucket, keys)``: the aggregate's required
+    clustering is satisfied by the repartition's output partitioning, so
+    Catalyst plans **no second exchange**, and the output is already
+    bucket-aligned for the delta write (``pre_partitioned=True``, ~P/nb
+    files per bucket — the same write-fanout the salted path provides).
+
+    Versus the default ``collapse_latest_wins`` (map-side-combined agg +
+    post-collapse bucket repartition): raw events cross the wire once
+    here instead of collapsed rows twice, at the price of losing map-side
+    combine (a hot key's duplicate deliveries all travel to one task).
+
+    **Measured verdict (BENCH.md round 2, 35M events, separate executor
+    JVMs)**: the default maxby plan wins at BOTH cluster sizes (186k vs
+    167k ev/s at 1 executor, 598k vs 292k at 4) — partial aggregation
+    shrinks the shuffle more than the second exchange costs, and the
+    fine-partitioned exchange's fixed fan-out caps reduce parallel
+    balance. Kept as the equivalence-tested record of the experiment and
+    for inputs that are known duplicate-free (where map-side combine
+    cannot help).
+
+    Output: the same columns as :func:`collapse_latest_wins` plus
+    ``__bucket``.
+    """
+    payload = payload_columns(events, keys)
+    keys = list(keys)
+    n_part = num_partitions
+    if n_part is None:
+        n_part = int(
+            events.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    # round up to a multiple of num_buckets ≥ 2×buckets so each task
+    # writes exactly one bucket directory
+    k = max(2, -(-n_part // num_buckets))
+    n_part = k * num_buckets
+    fine = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_part)).cast("int")
+    bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
+    pre = events.withColumn("__fine", fine).withColumn("__bucket", bucket)
+    agg = (
+        pre.repartition(n_part, "__fine")
+        .groupBy("__fine", "__bucket", *keys)
+        .agg(
+            F.max_by(_winner_struct(payload), _ord()).alias("__w"),
+            F.max("event_ts").alias("__max_event_ts"),
+            F.max("lsn").alias("__max_lsn"),
+        )
+    )
+    return _unpack(agg, ["__bucket", *keys], payload)
+
+
 def collapse_latest_wins_salted(
     events: DataFrame, keys=KEY_COLS, n_salt: int = 32
 ) -> DataFrame:

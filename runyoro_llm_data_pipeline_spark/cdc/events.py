@@ -15,7 +15,7 @@ dropped silently) so callers can route them to a quarantine sink.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -66,14 +66,9 @@ def conform_events(df: DataFrame) -> DataFrame:
     return df
 
 
-def validate_events(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Split an event batch into (valid, rejected).
-
-    All predicates are JVM column expressions — Catalyst pushes them into the
-    scan; nothing runs in Python.
-    """
-    df = conform_events(df)
-    cond = (
+def validity_condition() -> Column:
+    """The admission predicate (P9) as one JVM column expression."""
+    return (
         F.col("conv_id").isNotNull()
         & (F.length("conv_id") > 0)
         & F.col("turn_idx").isNotNull()
@@ -84,4 +79,14 @@ def validate_events(df: DataFrame) -> tuple[DataFrame, DataFrame]:
         # deletes carry no payload; everything else must carry text
         & ((F.col("op") == "delete") | F.col("text").isNotNull())
     )
+
+
+def validate_events(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split an event batch into (valid, rejected).
+
+    All predicates are JVM column expressions — Catalyst pushes them into the
+    scan; nothing runs in Python.
+    """
+    df = conform_events(df)
+    cond = validity_condition()
     return df.filter(cond), df.filter(~cond)

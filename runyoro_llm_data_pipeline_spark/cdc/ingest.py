@@ -37,17 +37,19 @@ class CdcIngest:
         batch_dir: str,
         num_buckets: int = 16,
         normalize_text: bool = True,
-        mode: str = "cow",
+        mode: str = "mor",
         compact_max_files: int | None = 4,
         collapse_impl: str = "maxby",
         normalize_impl: str = "jvm",
         quarantine_dir: str | None = None,
     ):
-        """``mode='mor'`` + ``compact_max_files=k`` is the high-throughput
-        configuration: batches append O(batch) delta files; any bucket
-        accumulating more than k live files is compacted inline (a
-        data-only snapshot — resumable like every other commit).
-        ``compact_max_files=None`` disables auto-compaction."""
+        """The default ``mode='mor'`` + ``compact_max_files=k`` is the
+        high-throughput configuration every published number uses: batches
+        append O(batch) delta files; any bucket accumulating more than k
+        live files is compacted inline (a data-only snapshot — resumable
+        like every other commit). ``compact_max_files=None`` disables
+        auto-compaction. ``mode='cow'`` trades write throughput for
+        scan-only reads (read-heavy tables, small batches)."""
         self.table_path = table_path
         self.batch_dir = batch_dir
         self.num_buckets = num_buckets

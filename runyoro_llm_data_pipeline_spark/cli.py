@@ -33,7 +33,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--batch-dir", required=True, help="change-event batch directory")
     p.add_argument("--num-buckets", type=int, default=64)
     p.add_argument("--mode", choices=("cow", "mor"), default="mor")
-    p.add_argument("--collapse-impl", choices=("maxby", "arrow"), default="maxby")
+    p.add_argument(
+        "--collapse-impl", choices=("maxby", "bucket", "arrow"), default="maxby"
+    )
     p.add_argument("--compact-max-files", type=int, default=8)
     p.add_argument("--no-normalize", action="store_true")
     p.add_argument("--max-batches", type=int, default=None)

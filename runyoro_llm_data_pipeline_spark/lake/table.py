@@ -28,6 +28,18 @@ files-per-bucket) entries handled driver-side — same order as Iceberg's
 manifest lists; data access is executor-side Parquet scans of only the
 pruned file set. Single-writer commit (one streaming/batch driver) is
 assumed, as in any single-sink CDC apply job.
+
+Manifest hygiene at 100 TB: MOR keeps per-bucket live-file counts bounded
+by ``compact_max_files``, so the manifest stays O(num_buckets ×
+compact_max_files) regardless of history; ``expire_snapshots`` bounds the
+manifest *chain* and ``cleanup_orphans`` reclaims de-referenced files
+(interaction tested under churn in ``tests/test_round2_fixes.py``).
+Incremental consumers must poll within the retention window or take the
+documented ``IncrementalHistoryError`` → full-read fallback. If a
+deployment ever needs >10^5 buckets, the next step is Iceberg-style
+manifest SPLITTING (one manifest file per bucket range, a manifest-list on
+top): ``Snapshot.files`` is already the only structure that would shard,
+and nothing else reads it directly.
 """
 
 from __future__ import annotations
@@ -62,10 +74,14 @@ class Snapshot:
     version: int
     parent: int | None
     schema_json: dict[str, Any]
-    files: list[dict[str, Any]]  # {path(rel), bucket, rows}
+    files: list[dict[str, Any]]  # {path(rel), bucket, kind, added_v}
     applied: dict[str, list[int]]  # batch_id(str) -> [min_lsn, max_lsn]
     summary: dict[str, Any] = field(default_factory=dict)
     lineage_files: list[str] = field(default_factory=list)
+    # 'data' = the commit added logical changes (batch apply);
+    # 'maintenance' = pure rewrite (compaction / rebucket) — no new
+    # logical content, excluded from incremental consumption
+    commit_type: str = "data"
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(self.schema_json)
@@ -80,6 +96,7 @@ class Snapshot:
                 "applied": self.applied,
                 "summary": self.summary,
                 "lineage_files": self.lineage_files,
+                "commit_type": self.commit_type,
             },
             indent=1,
         )
@@ -95,12 +112,18 @@ class Snapshot:
             applied=d.get("applied", {}),
             summary=d.get("summary", {}),
             lineage_files=d.get("lineage_files", []),
+            commit_type=d.get("commit_type", "data"),
         )
 
 
 class CommitConflictError(RuntimeError):
     """Another writer committed this snapshot version first. Re-read the
     table and re-plan the merge against the new current snapshot."""
+
+
+class IncrementalHistoryError(RuntimeError):
+    """The snapshot chain or data files needed for an incremental read
+    were expired; the consumer must fall back to a full read."""
 
 
 def _atomic_write(path: str, content: str) -> None:
@@ -157,6 +180,10 @@ class LakeTable:
       headline path.
     """
 
+    # a partial snapshot manifest older than this is considered abandoned
+    # by a dead writer and may be reclaimed during commit
+    stale_manifest_seconds: float = 300.0
+
     def __init__(self, path: str, num_buckets: int = 16):
         self.path = os.path.abspath(path)
         self.num_buckets = num_buckets
@@ -186,6 +213,7 @@ class LakeTable:
             )
             t._write_snapshot(snap)
         else:
+            t.recover()
             cur = t.current()
             t.num_buckets = cur.summary.get("num_buckets", num_buckets)
             t.key_cols = cur.summary.get("key_cols", list(key_cols))
@@ -194,6 +222,7 @@ class LakeTable:
     @staticmethod
     def load(path: str) -> "LakeTable":
         t = LakeTable(path)
+        t.recover()
         cur = t.current()
         t.num_buckets = cur.summary.get("num_buckets", 16)
         t.key_cols = cur.summary.get("key_cols", ["conv_id", "turn_idx"])
@@ -216,6 +245,42 @@ class LakeTable:
         if v is None:
             raise FileNotFoundError(f"no committed snapshot at {self.path}")
         return self.snapshot(v)
+
+    def _valid_orphan_snapshot(self, version: int) -> Snapshot | None:
+        """Parse snapshots/vN.json if it exists and is a complete, correctly
+        chained manifest (a crashed writer can leave a partial file — the
+        create-exclusive fd exists before the content is fsynced)."""
+        p = os.path.join(self.path, SNAP_DIR, f"v{version:08d}.json")
+        try:
+            with open(p) as fh:
+                snap = Snapshot.from_json(fh.read())
+        except (OSError, ValueError, KeyError):
+            return None
+        if snap.version != version or snap.parent != version - 1:
+            return None
+        return snap
+
+    def recover(self) -> int | None:
+        """Roll the version pointer forward over any fully-written snapshot
+        manifests it doesn't reference yet. A crash between the
+        create-exclusive snapshot write and the pointer rename would
+        otherwise wedge the table: the pointer stays at vN-1, every new
+        commit plans vN and hits CommitConflictError forever. The snapshot
+        file is fsynced before the pointer moves, so a valid vN manifest
+        IS a durable commit — adopting it merely finishes the crashed
+        writer's job (the pointer write is idempotent, so racing with a
+        live writer is harmless). Returns the new current version if the
+        pointer moved, else None."""
+        v = self.current_version()
+        if v is None:
+            return None
+        moved = None
+        while self._valid_orphan_snapshot(v + 1) is not None:
+            v += 1
+            moved = v
+        if moved is not None:
+            _atomic_write(os.path.join(self.path, VERSION_POINTER), str(moved))
+        return moved
 
     def history(self) -> list[Snapshot]:
         out, v = [], self.current_version()
@@ -315,26 +380,69 @@ class LakeTable:
         self, spark: SparkSession, since_version: int
     ) -> DataFrame:
         """Incremental consumption (the downstream-consumer side of CDC):
-        stored rows added by snapshots AFTER ``since_version`` — i.e. the
-        per-key winners written since then, tombstones included so a
-        consumer can propagate deletes. O(new files), no diffing of row
-        contents: file lists are compared, the same way Iceberg
-        incremental scans work. Compaction rewrites are excluded by kind
-        ('base' rewrites carry no new logical changes when produced by
-        compact(), which never adds keys)."""
-        old = {f["path"] for f in self.snapshot(since_version).files}
+        stored rows added by **data commits** AFTER ``since_version``,
+        collapsed latest-wins, tombstones included so a consumer can
+        propagate deletes.
+
+        Walks the snapshot chain from the current version back to
+        ``since_version`` and takes, for each data commit, exactly the
+        files that commit added (path-diff against its parent manifest —
+        the same attribution Iceberg gets from snapshot_id on manifest
+        entries). Maintenance commits (compaction / rebucket) are pure
+        rewrites of existing content and contribute nothing; crucially,
+        a delta file that a LATER compaction folded away is still read
+        from its own commit's manifest, so auto-compaction can never
+        silently drop changes from an incremental consumer. O(new files).
+
+        MOR data commits deliver exactly the batch's per-key winners; COW
+        data commits rewrite whole buckets, so consumers may be
+        over-delivered unchanged rows of co-bucketed keys (upsert
+        semantics make that safe for any latest-wins consumer).
+
+        Raises ``IncrementalHistoryError`` when the chain or a needed
+        file has been expired (``expire_snapshots``/``cleanup_orphans``)
+        — the consumer must fall back to a full read."""
         cur = self.current()
-        new_paths = [
-            os.path.join(self.path, f["path"])
-            for f in cur.files
-            if f["path"] not in old and f.get("kind", "base") == "delta"
-        ]
+        chain: list[Snapshot] = []
+        s = cur
+        while s.version > since_version:
+            chain.append(s)
+            if s.parent is None:
+                raise IncrementalHistoryError(
+                    f"snapshot history before v{s.version} was expired; "
+                    f"cannot diff against v{since_version} — fall back to "
+                    "a full read"
+                )
+            try:
+                s = self.snapshot(s.parent)
+            except FileNotFoundError as e:
+                raise IncrementalHistoryError(
+                    f"snapshot v{s.parent} manifest is gone (expired); "
+                    "fall back to a full read"
+                ) from e
+        parent_paths = {f["path"] for f in s.files}  # s == since snapshot
+        new_paths: list[str] = []
+        for snap in reversed(chain):
+            if snap.commit_type == "data":
+                for f in snap.files:
+                    if f["path"] not in parent_paths:
+                        new_paths.append(f["path"])
+            parent_paths = {f["path"] for f in snap.files}
         schema = cur.schema()
         if not new_paths:
             return spark.createDataFrame([], schema)
-        df = spark.read.schema(schema).parquet(*new_paths)
+        missing = [p for p in new_paths if not os.path.exists(os.path.join(self.path, p))]
+        if missing:
+            raise IncrementalHistoryError(
+                f"{len(missing)} data file(s) from the incremental window "
+                f"were removed (e.g. {missing[0]!r}) — history was cleaned "
+                "up; fall back to a full read"
+            )
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(self.path, p) for p in new_paths]
+        )
         # latest-wins within the consumed window (a key may appear in
-        # several new deltas)
+        # several new commits)
         return collapse_stored(df, self.key_cols)
 
     def create_view(
@@ -487,6 +595,7 @@ class LakeTable:
             applied_update={},
             summary_update={"last_compaction_version": version},
             parent=snap,
+            commit_type="maintenance",
         )
         return len(buckets)
 
@@ -499,6 +608,7 @@ class LakeTable:
         summary_update: dict[str, Any] | None = None,
         lineage_rel_path: str | None = None,
         parent: Snapshot | None = None,
+        commit_type: str = "data",
     ) -> Snapshot:
         base = parent if parent is not None else self.current()
         applied = dict(base.applied)
@@ -508,16 +618,47 @@ class LakeTable:
         lineage_files = list(base.lineage_files)
         if lineage_rel_path:
             lineage_files.append(lineage_rel_path)
+        version = base.version + 1
+        # stamp each new file with its committing version so incremental
+        # readers can attribute files to commits (Iceberg's snapshot_id on
+        # manifest entries)
+        new_files = [{**f, "added_v": version} for f in new_files]
         snap = Snapshot(
-            version=base.version + 1,
+            version=version,
             parent=base.version,
             schema_json=schema.jsonValue(),
             files=carried_files + new_files,
             applied=applied,
             summary=summary,
             lineage_files=lineage_files,
+            commit_type=commit_type,
         )
-        self._write_snapshot(snap, exclusive=True)
+        try:
+            self._write_snapshot(snap, exclusive=True)
+        except CommitConflictError:
+            if self._valid_orphan_snapshot(version) is not None:
+                # a durable vN exists (concurrent winner, or a crashed
+                # writer that never moved the pointer) — adopt it so the
+                # caller's re-plan sees the real current snapshot instead
+                # of conflicting forever
+                self.recover()
+                raise
+            # partial manifest from a writer that died mid-write: reclaim
+            # it once it is old enough that no live writer can own it
+            import time
+
+            p = os.path.join(self.path, SNAP_DIR, f"v{version:08d}.json")
+            try:
+                stale = (
+                    time.time() - os.path.getmtime(p)
+                    >= self.stale_manifest_seconds
+                )
+            except OSError:
+                stale = False
+            if not stale:
+                raise
+            os.remove(p)
+            self._write_snapshot(snap, exclusive=True)
         return snap
 
     # -------------------------------------------------------------- cleanup
@@ -604,6 +745,7 @@ class LakeTable:
                 applied_update={},
                 summary_update={"num_buckets": new_num_buckets},
                 parent=snap,
+                commit_type="maintenance",
             )
         except BaseException:
             self.num_buckets = old_n

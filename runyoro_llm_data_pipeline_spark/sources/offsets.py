@@ -53,6 +53,9 @@ class ParquetOffsetLog:
 
     def __init__(self, root: str):
         self.root = root
+        # (relpath -> (size, mtime, file_max_lsn)) — head-discovery cache so
+        # each poll stats every file but opens footers only for NEW ones
+        self._footer_cache: dict[str, tuple[int, float, int | None]] = {}
 
     def append(self, events: DataFrame, n_files_per_part: int = 2) -> None:
         """Producer helper: append events (must carry ``log_part``)."""
@@ -63,16 +66,61 @@ class ParquetOffsetLog:
             .parquet(self.root)
         )
 
+    @staticmethod
+    def _file_max_lsn(path: str) -> int | None:
+        """Max lsn of one file from its parquet footer statistics —
+        O(footer), no data read, no Spark job."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        idx = next(
+            (i for i in range(md.num_columns) if md.schema.column(i).name == "lsn"),
+            None,
+        )
+        if idx is None:
+            return None
+        hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                hi = st.max if hi is None else max(hi, st.max)
+        return hi
+
     def latest_offsets(self, spark: SparkSession) -> dict[str, int]:
+        """Per-partition head offsets from parquet *footers*, driver-side:
+        the poll cost is O(all files) stat calls + O(new files) footer
+        reads (cached by (size, mtime)) — never a Spark scan of the
+        ever-growing log. A real Kafka source gets this from the broker's
+        end-offsets API; a binlog tail from the current file+position."""
         if not os.path.isdir(self.root):
             return {}
-        rows = (
-            spark.read.parquet(self.root)
-            .groupBy(PART_COL)
-            .agg(F.max("lsn").alias("hi"))
-            .collect()
-        )
-        return {str(r[PART_COL]): int(r["hi"]) for r in rows}
+        out: dict[str, int] = {}
+        for entry in sorted(os.listdir(self.root)):
+            if not entry.startswith(f"{PART_COL}="):
+                continue
+            part = entry.split("=", 1)[1]
+            pdir = os.path.join(self.root, entry)
+            hi: int | None = None
+            for fn in os.listdir(pdir):
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(pdir, fn)
+                rel = os.path.join(entry, fn)
+                try:
+                    st = os.stat(full)
+                except OSError:
+                    continue
+                cached = self._footer_cache.get(rel)
+                if cached is None or cached[0] != st.st_size or cached[1] != st.st_mtime:
+                    fmax = self._file_max_lsn(full)
+                    self._footer_cache[rel] = (st.st_size, st.st_mtime, fmax)
+                else:
+                    fmax = cached[2]
+                if fmax is not None:
+                    hi = fmax if hi is None else max(hi, fmax)
+            if hi is not None:
+                out[part] = int(hi)
+        return out
 
     def read(
         self, spark: SparkSession, since: dict[str, int], until: dict[str, int]

@@ -46,7 +46,7 @@ def test_mor_replay_matches_expected_and_cow(spark, log, tmp_lake):
     assert kinds == {"delta"}
     assert _rows(t.read(spark)) == expected
 
-    cow = CdcIngest(os.path.join(tmp_lake, "cow"), batch_dir, num_buckets=8)
+    cow = CdcIngest(os.path.join(tmp_lake, "cow"), batch_dir, num_buckets=8, mode="cow")
     cow.run(spark)
     assert _rows(cow.table().read(spark)) == expected
 
@@ -113,6 +113,32 @@ def test_mor_arrow_impl_end_to_end(spark, log, tmp_lake):
     ing = CdcIngest(
         os.path.join(tmp_lake, "t"), batch_dir, num_buckets=8, mode="mor",
         compact_max_files=3, collapse_impl="arrow",
+    )
+    ing.run(spark)
+    assert _rows(ing.table().read(spark)) == expected
+
+
+def test_bucketed_collapse_equals_default(spark):
+    """The single-shuffle write-aligned JVM collapse must agree with the
+    default map-side-combined aggregate on every output column."""
+    from runyoro_llm_data_pipeline_spark.cdc.dedup import (
+        collapse_latest_wins,
+        collapse_latest_wins_bucketed,
+    )
+
+    events, _ = gen_change_log(spark, n_turns=500, n_convs=20, n_batches=3)
+    a = collapse_latest_wins(events)
+    b = collapse_latest_wins_bucketed(events, num_buckets=8).drop("__bucket").select(
+        *a.columns
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_mor_bucket_impl_end_to_end(spark, log, tmp_lake):
+    batch_dir, expected = log
+    ing = CdcIngest(
+        os.path.join(tmp_lake, "t"), batch_dir, num_buckets=8, mode="mor",
+        compact_max_files=3, collapse_impl="bucket",
     )
     ing.run(spark)
     assert _rows(ing.table().read(spark)) == expected

@@ -73,3 +73,41 @@ def test_offset_checkpoint_is_atomic_with_data(spark, tmp_lake, tmp_path_factory
     # offsets live in the snapshot summary, versioned with the data
     snap = ing2.table().current()
     assert OFFSETS_KEY in snap.summary
+
+
+def test_latest_offsets_footer_only_and_incremental(spark, tmp_path_factory):
+    """Head discovery is O(new files): footers are read once per file and
+    cached; a catch-up poll after new appends opens only the new files.
+    No Spark job is involved at all."""
+    log_dir = str(tmp_path_factory.mktemp("olog3"))
+    log = ParquetOffsetLog(log_dir)
+    events, _ = gen_change_log(spark, n_turns=200, n_convs=10, n_batches=2)
+    ev = _with_parts(events, n_parts=2)
+    log.append(ev.filter(F.col("batch_id") == 0))
+
+    calls = []
+    orig = ParquetOffsetLog._file_max_lsn
+
+    def counting(path):
+        calls.append(path)
+        return orig(path)
+
+    log._file_max_lsn = counting
+    first = log.latest_offsets(spark)
+    n_first = len(calls)
+    assert n_first > 0 and set(first) == {"0", "1"}
+    # second poll with no new data: zero footer reads, same answer
+    assert log.latest_offsets(spark) == first
+    assert len(calls) == n_first
+    # append → only the new files' footers are opened, offsets advance
+    log.append(ev.filter(F.col("batch_id") == 1))
+    second = log.latest_offsets(spark)
+    assert len(calls) - n_first <= 4  # 2 parts × ≤2 files per append
+    assert all(second[p] >= first[p] for p in first)
+    # spark-side ground truth agrees
+    truth = {
+        str(r["log_part"]): r["hi"]
+        for r in spark.read.parquet(log_dir)
+        .groupBy("log_part").agg(F.max("lsn").alias("hi")).collect()
+    }
+    assert second == truth
