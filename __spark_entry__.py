@@ -153,16 +153,18 @@ def q_knn_lsh(spark, sf_dir):
 
 def q_source_dispatch(spark, sf_dir):
     """S1/P8/P10: synthesize deterministic source paths over documents,
-    infer the processing pipeline per path, and project artifact names.
+    infer the processing pipeline per path, and project artifact names —
+    covering every reference source type incl. the directory-shape
+    ``audio_text_pair`` branch and the static/dynamic website split.
     The oracle derives expected type/name straight from the modulo — an
-    independent check of the extension/URL classification expressions."""
+    independent check of the classification expressions."""
     from runyoro_llm_data_pipeline_spark.operators.dispatch import (
         detect_source_type,
         output_name,
     )
 
     d = _docs(spark, sf_dir)
-    m = F.col("doc_id") % 7
+    m = F.col("doc_id") % 8
     ext = (
         F.when(m == 0, F.lit(".txt"))
         .when(m == 1, F.lit(".pdf"))
@@ -171,19 +173,62 @@ def q_source_dispatch(spark, sf_dir):
         .when(m == 4, F.lit(".png"))
         .otherwise(F.lit(".xyz"))
     )
-    path = F.when(
-        m == 6,
-        F.concat(F.lit("https://example.com/"), F.col("source"), F.lit("/d/"),
-                 F.col("doc_id").cast("string")),
-    ).otherwise(
-        F.concat(F.lit("raw_data/"), F.col("source"), F.lit("/doc_"),
-                 F.col("doc_id").cast("string"), ext)
+    # m==6: URL (JS-rendered variant for odd doc_id//8); m==7: a directory
+    # whose listing shape (has-audio ∧ has-text) marks it an a/v-text pair
+    dyn = (F.col("doc_id") / 8).cast("long") % 2 == 1
+    path = (
+        F.when(
+            m == 6,
+            F.concat(
+                F.lit("https://example.com/"), F.col("source"), F.lit("/d/"),
+                F.col("doc_id").cast("string"),
+                F.when(dyn, F.lit("?render=js")).otherwise(F.lit("")),
+            ),
+        )
+        .when(
+            m == 7,
+            F.concat(F.lit("raw_data/pairs_"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("raw_data/"), F.col("source"), F.lit("/doc_"),
+                     F.col("doc_id").cast("string"), ext)
+        )
     )
     return d.select(
         "doc_id",
-        F.coalesce(detect_source_type(path), F.lit("unknown")).alias("source_type"),
+        F.coalesce(
+            detect_source_type(
+                path,
+                is_pair_dir=(m == 7),
+                dynamic_when=path.endswith("?render=js"),
+            ),
+            F.lit("unknown"),
+        ).alias("source_type"),
         output_name(path).alias("out_name"),
     )
+
+
+def q_audio_text_pairs(spark, sf_dir):
+    """J1's original form (audio⋈text basename pair assembly,
+    ``audio_text_processing.py:26-49``): synthesize a deterministic file
+    listing over documents — every doc contributes an audio file, two of
+    three docs a matching transcript, some docs an unrelated file — and
+    pair audio with transcripts per (dir, base). Equi-join, no cross
+    product; the oracle rebuilds the same listing in SQL."""
+    from runyoro_llm_data_pipeline_spark.operators.dispatch import pair_audio_text
+
+    d = _docs(spark, sf_dir)
+    dirc = F.concat(F.lit("dir_"), (F.col("doc_id") % 20).cast("string"))
+    ids = F.col("doc_id").cast("string")
+    entries = F.array(
+        F.concat(F.lit("rec_"), ids, F.lit(".wav")),
+        F.when(F.col("doc_id") % 3 != 0, F.concat(F.lit("rec_"), ids, F.lit(".txt"))),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("notes_"), ids, F.lit(".md"))),
+    )
+    listing = d.select(
+        dirc.alias("dir"), F.explode(entries).alias("path")
+    ).filter(F.col("path").isNotNull())
+    return pair_audio_text(listing)
 
 
 def q_event_rate(spark, sf_dir):
@@ -202,6 +247,70 @@ def q_event_rate(spark, sf_dir):
             "n_users",
         )
     )
+
+
+def q_scrape_extract(spark, sf_dir):
+    """S7/S8 extraction half of the scrape connector: deterministic HTML
+    synthesized over documents (article / main / no-container shapes, nav
+    + script + footer noise), main-content preference chain + tag strip +
+    entity unescape + whitespace collapse — all JVM regex (RE2-safe), so
+    the oracle runs the identical expressions. The fetch half (pluggable
+    requests/selenium kernel) is pytest-covered with the fake kernel."""
+    from runyoro_llm_data_pipeline_spark.operators.scrape import scrape_text
+
+    d = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 3
+    html = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("<html><body><nav>site menu</nav><article><p>"),
+                F.col("text"),
+                F.lit("</p></article><script>var x=1;</script></body></html>"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("<html><body><main><h1>"),
+                F.col("source"),
+                F.lit("</h1><p>"),
+                F.col("text"),
+                F.lit("</p></main><footer>foo</footer></body></html>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('<html><body><div class="nav">MENU</div><p>'),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            )
+        )
+    )
+    return d.select("doc_id", scrape_text(html).alias("page_text"))
+
+
+def q_forced_alignment(spark, sf_dir):
+    """Forced-alignment sync map (J3, ``scripts/forced_alignment.py``):
+    deterministic audio/transcript pairs synthesized over documents —
+    pair k gets duration (k+10)s and its docs as transcript lines — then
+    proportional alignment in pure JVM window arithmetic."""
+    from runyoro_llm_data_pipeline_spark.operators.multimodal import (
+        align_audio_text_proportional,
+    )
+
+    d = _docs(spark, sf_dir)
+    lines = d.select(
+        (F.col("doc_id") % 50).cast("long").alias("pair_id"),
+        F.expr("CAST(doc_id DIV 50 AS BIGINT)").alias("line_idx"),
+        "text",
+    )
+    pairs = (
+        lines.select("pair_id")
+        .distinct()
+        .withColumn("duration_ms", ((F.col("pair_id") + 10) * 1000).cast("long"))
+    )
+    return align_audio_text_proportional(pairs, lines)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -239,12 +348,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_bruteforce": lambda s, d: sim.cosine_topk_bruteforce(
         _emb(s, d), query_vec_id=0, k=10
     ),
-    "knn_lsh": q_knn_lsh,  # approximate — rows-only check (no oracle)
+    "knn_lsh": q_knn_lsh,  # deterministic hyperplanes — fully oracled
     "label_centroids": sim.pairwise_label_centroids,
     # streaming-shaped windowed aggregate (batch parity form)
     "event_rate_1h": q_event_rate,
-    # S1/P8 type dispatch + P10 name projection
+    # S1/P8 type dispatch + P10 name projection + J1 pair assembly
     "source_dispatch": q_source_dispatch,
+    "audio_text_pairs": q_audio_text_pairs,
+    "forced_alignment": q_forced_alignment,
+    "scrape_extract": q_scrape_extract,
 }
 
 
@@ -268,6 +380,47 @@ sh AS (
        UNNEST(CASE WHEN len(w) >= 3 THEN range(1, len(w) - 1)
                    ELSE [CAST(1 AS BIGINT)] END) AS u(i)
 )
+"""
+
+
+def _knn_lsh_sql(
+    n_planes: int = 3, n_tables: int = 12, dim: int = 64, k: int = 10,
+    qid: int = 0,
+) -> str:
+    """DuckDB mirror of the multi-table random-hyperplane LSH: the
+    hyperplanes are deterministic (md5-parity components, engine-free), so
+    they are materialized here as ±1.0 literal arrays and the whole
+    candidate-generation + re-scoring pipeline is plain SQL."""
+    from runyoro_llm_data_pipeline_spark.operators.similarity import _hyperplane
+
+    def sig_expr(t: int) -> str:
+        bits = []
+        for p in range(n_planes):
+            consts = ",".join(
+                "1.0" if c > 0 else "-1.0" for c in _hyperplane(p, dim, t)
+            )
+            bits.append(
+                f"CASE WHEN list_dot_product(v, [{consts}]) >= 0"
+                " THEN '1' ELSE '0' END"
+            )
+        return " || ".join(bits)
+
+    sig_cols = ",\n  ".join(f"({sig_expr(t)}) AS sig{t}" for t in range(n_tables))
+    match = " OR ".join(f"s.sig{t} = q.sig{t}" for t in range(n_tables))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+  {sig_cols}
+  FROM e),
+q AS (SELECT * FROM s WHERE vec_id = {qid})
+SELECT s.vec_id,
+       round(list_dot_product(s.v, q.v) /
+             (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(q.v, q.v))), 6)
+         AS cosine
+FROM s, q
+WHERE s.vec_id <> {qid} AND ({match})
+ORDER BY cosine DESC, s.vec_id
+LIMIT {k}
 """
 
 
@@ -491,12 +644,16 @@ SELECT md5(text) AS text_md5, MIN(doc_id) AS canonical_doc_id,
        COUNT(*) AS n_dups
 FROM documents GROUP BY md5(text)
 """,
+    # stop-shingle cap (<= 256 docs/shingle) mirrored from
+    # operators/dedup.py MAX_DOCS_PER_SHINGLE
     "ngram_jaccard_pairs": f"""
 WITH {_SHINGLES},
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 256),
+shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shk GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
   HAVING COUNT(*) >= 2
 )
@@ -507,6 +664,8 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE 5 * n_common >= 1 * (sa.n_sh + sb.n_sh - n_common)
 """,
+    # stop-band cap (<= 64 docs/band key) mirrored from
+    # operators/dedup.py MAX_DOCS_PER_BAND_KEY
     "minhash_lsh_candidates": f"""
 WITH {_SHINGLES},
 mh AS (
@@ -515,11 +674,14 @@ mh AS (
   FROM sh, UNNEST(range(0, 12)) AS u(p)
   GROUP BY doc_id, u.p
 ),
-band AS (
+band0 AS (
   SELECT doc_id, CAST(p // 2 AS INTEGER) AS band,
          string_agg(minhash, '' ORDER BY minhash) AS band_key
   FROM mh GROUP BY doc_id, CAST(p // 2 AS INTEGER)
-)
+),
+bkeep AS (SELECT band, band_key FROM band0 GROUP BY band, band_key
+          HAVING COUNT(*) <= 64),
+band AS (SELECT band0.* FROM band0 JOIN bkeep USING (band, band_key))
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM band a JOIN band b ON a.band = b.band AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id
@@ -532,11 +694,14 @@ mh AS (
   FROM sh, UNNEST(range(0, 12)) AS u(p)
   GROUP BY doc_id, u.p
 ),
-band AS (
+band0 AS (
   SELECT doc_id, CAST(p // 2 AS INTEGER) AS band,
          string_agg(minhash, '' ORDER BY minhash) AS band_key
   FROM mh GROUP BY doc_id, CAST(p // 2 AS INTEGER)
 ),
+bkeep AS (SELECT band, band_key FROM band0 GROUP BY band, band_key
+          HAVING COUNT(*) <= 64),
+band AS (SELECT band0.* FROM band0 JOIN bkeep USING (band, band_key)),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM band a JOIN band b ON a.band = b.band AND a.band_key = b.band_key
@@ -585,15 +750,98 @@ FROM cent GROUP BY label
 }
 ORACLES["source_dispatch"] = """
 SELECT doc_id,
-       CASE doc_id % 7
+       CASE doc_id % 8
          WHEN 0 THEN 'text_file' WHEN 1 THEN 'pdf' WHEN 2 THEN 'audio'
          WHEN 3 THEN 'video'     WHEN 4 THEN 'image'
-         WHEN 6 THEN 'website_static' ELSE 'unknown' END AS source_type,
-       CASE WHEN doc_id % 7 = 6
+         WHEN 6 THEN CASE WHEN (doc_id // 8) % 2 = 1
+                          THEN 'website_dynamic' ELSE 'website_static' END
+         WHEN 7 THEN 'audio_text_pair'
+         ELSE 'unknown' END AS source_type,
+       CASE WHEN doc_id % 8 = 6
             THEN 'example_com_' || replace(source, '.', '_') || '_d_'
                  || CAST(doc_id AS VARCHAR)
+                 || CASE WHEN (doc_id // 8) % 2 = 1 THEN '?render=js' ELSE '' END
+            WHEN doc_id % 8 = 7 THEN 'pairs_' || CAST(doc_id AS VARCHAR)
             ELSE 'doc_' || CAST(doc_id AS VARCHAR) END AS out_name
 FROM documents
+"""
+
+ORACLES["audio_text_pairs"] = """
+WITH listing AS (
+  SELECT 'dir_' || CAST(doc_id % 20 AS VARCHAR) AS dir, p AS path
+  FROM documents,
+       UNNEST([
+         'rec_' || CAST(doc_id AS VARCHAR) || '.wav',
+         CASE WHEN doc_id % 3 <> 0
+              THEN 'rec_' || CAST(doc_id AS VARCHAR) || '.txt' END,
+         CASE WHEN doc_id % 5 = 0
+              THEN 'notes_' || CAST(doc_id AS VARCHAR) || '.md' END
+       ]) AS u(p)
+  WHERE p IS NOT NULL
+),
+parts AS (
+  SELECT dir, path,
+         regexp_replace(path, '\\.[^.]*$', '') AS base,
+         lower(regexp_extract(path, '(\\.[^.]*)$', 1)) AS ext
+  FROM listing
+)
+SELECT a.dir, a.base, a.path AS audio_path, t.path AS text_path
+FROM parts a
+JOIN parts t ON a.dir = t.dir AND a.base = t.base AND t.ext = '.txt'
+WHERE a.ext IN ('.wav', '.mp3', '.m4a', '.flac', '.ogg')
+"""
+
+ORACLES["knn_lsh"] = _knn_lsh_sql()
+
+ORACLES["scrape_extract"] = """
+WITH h AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN '<html><body><nav>site menu</nav><article><p>' || text
+                       || '</p></article><script>var x=1;</script></body></html>'
+           WHEN 1 THEN '<html><body><main><h1>' || source || '</h1><p>' || text
+                       || '</p></main><footer>foo</footer></body></html>'
+           ELSE '<html><body><div class="nav">MENU</div><p>' || text
+                || '</p></body></html>' END AS html
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         COALESCE(
+           NULLIF(regexp_extract(html, '(?s)<article[^>]*>(.*?)</article>', 1), ''),
+           NULLIF(regexp_extract(html, '(?s)<main[^>]*>(.*?)</main>', 1), ''),
+           NULLIF(regexp_extract(html, '(?s)<div[^>]*class="content"[^>]*>(.*?)</div>', 1), ''),
+           html) AS body
+  FROM h
+)
+SELECT doc_id,
+       trim(regexp_replace(
+         replace(replace(replace(replace(
+           regexp_replace(regexp_replace(regexp_replace(body,
+             '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+             '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+             '<[^>]+>', ' ', 'g'),
+           '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '),
+         '\\s+', ' ', 'g')) AS page_text
+FROM c
+"""
+
+ORACLES["forced_alignment"] = """
+WITH lines AS (
+  SELECT doc_id % 50 AS pair_id, doc_id // 50 AS line_idx,
+         CAST(length(text) AS BIGINT) AS n
+  FROM documents
+),
+cum AS (
+  SELECT pair_id, line_idx, n,
+         SUM(n) OVER (PARTITION BY pair_id ORDER BY line_idx) AS c,
+         SUM(n) OVER (PARTITION BY pair_id) AS total
+  FROM lines
+)
+SELECT pair_id, line_idx,
+       CAST((((pair_id + 10) * 1000) * (c - n)) // total AS BIGINT) AS begin_ms,
+       CAST((((pair_id + 10) * 1000) * c) // total AS BIGINT) AS end_ms
+FROM cum
 """
 
 ORACLES["event_rate_1h"] = """

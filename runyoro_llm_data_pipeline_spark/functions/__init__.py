@@ -8,7 +8,17 @@ operator modules).
 
 from runyoro_llm_data_pipeline_spark.operators.dispatch import (  # noqa: F401
     detect_source_type,
+    dir_pair_flags,
     output_name,
+    pair_audio_text,
+)
+from runyoro_llm_data_pipeline_spark.operators.multimodal import (  # noqa: F401
+    align_audio_text_cogroup,
+    align_audio_text_proportional,
+)
+from runyoro_llm_data_pipeline_spark.operators.similarity import (  # noqa: F401
+    build_lsh_index,
+    infer_dim,
 )
 from runyoro_llm_data_pipeline_spark.operators.text import (  # noqa: F401
     clean_and_preprocess_text_col as clean_text,

@@ -31,6 +31,26 @@ from runyoro_llm_data_pipeline_spark.operators.textstats import tokens_col
 
 SHINGLE_K = 3
 
+# frequency caps — the standard stop-shingle / stop-band guards against
+# degenerate corpora where one bucket key goes quadratic. Far above
+# anything a natural corpus produces per key; mirrored bit-for-bit in the
+# DuckDB oracles so capped results stay verifiable.
+MAX_DOCS_PER_SHINGLE = 256
+MAX_DOCS_PER_BAND_KEY = 64
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Small-input guard for CPU-heavy projection stages: a corpus that
+    arrives as one tiny parquet file (single row group → unsplittable)
+    would serialize tokenize/shingle/md5 work onto ONE core. If the scan
+    has fewer partitions than the session's parallelism, repartition first
+    (the shuffle moves only raw docs). At scale the input already has
+    many splits and this is a structural no-op."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
 
 def shingles_col(text, k: int = SHINGLE_K):
     """Distinct k-word shingles of the text (array<string>); docs shorter
@@ -62,7 +82,7 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def doc_shingles(docs: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> DataFrame:
-    return docs.select(
+    return _spread(docs).select(
         "doc_id", F.explode(shingles_col(F.col(text_col), k)).alias("shingle")
     )
 
@@ -74,12 +94,32 @@ def ngram_jaccard_pairs(
     min_common: int = 2,
     jaccard_num: int = 1,
     jaccard_den: int = 5,
+    max_docs_per_shingle: int = MAX_DOCS_PER_SHINGLE,
 ) -> DataFrame:
     """All doc pairs with shingle-Jaccard ≥ jaccard_num/jaccard_den,
     via shingle-bucket self-join (no cross product). The threshold test is
     integer cross-multiplication — zero float drift:
-    ``den*common ≥ num*(|A|+|B|-common)``."""
+    ``den*common ≥ num*(|A|+|B|-common)``.
+
+    **Stop-shingle cap**: shingles shared by more than
+    ``max_docs_per_shingle`` docs are excluded EVERYWHERE (both the join
+    and the per-doc sizes), bounding the self-join at
+    O(cap × rows) instead of O(hottest-shingle²) on degenerate corpora;
+    Jaccard is then computed over the informative (non-stop) shingle sets
+    — the standard stop-word analogue. The oracle applies the identical
+    cap, so results stay value-verified."""
     sh = doc_shingles(docs, text_col, k)
+    if max_docs_per_shingle is not None:
+        # window count, not groupBy+join: one shuffle on `shingle` — the
+        # same distribution the self-join needs — and no second branch
+        # recomputing the shingle explode
+        sh = (
+            sh.withColumn(
+                "__n_docs", F.count("*").over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("__n_docs") <= max_docs_per_shingle)
+            .drop("__n_docs")
+        )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -147,6 +187,7 @@ def minhash_lsh_candidates(
     n_perm: int = 12,
     band_size: int = 2,
     k: int = SHINGLE_K,
+    max_docs_per_band_key: int = MAX_DOCS_PER_BAND_KEY,
 ) -> DataFrame:
     """LSH banding: group the n_perm signature into bands of ``band_size``;
     band key = concatenated (sorted) minhashes; docs sharing any band key
@@ -156,7 +197,14 @@ def minhash_lsh_candidates(
     projection), so the whole pipeline is: shingle explode → one agg →
     band explode → equi-join on (band, band_key). Verification (exact
     Jaccard on candidates only) composes downstream — see
-    ``near_dup_verified``."""
+    ``near_dup_verified``.
+
+    **Stop-band cap**: band keys hit by more than
+    ``max_docs_per_band_key`` docs are dropped from the self-join (a
+    ``count ≤ cap`` pre-aggregate), so one degenerate bucket can never go
+    O(bucket²); true near-dup pairs lost to a hot band are still found
+    through their other ``n_perm/band_size - 1`` bands — exactly why
+    multi-band LSH tolerates stop-bands. Mirrored in the oracle."""
     wide = minhash_signatures_wide(docs, text_col, n_perm, k)
     n_bands = n_perm // band_size
     band_arr = F.array(
@@ -175,6 +223,16 @@ def minhash_lsh_candidates(
     banded = wide.select(
         "doc_id", F.posexplode(band_arr).alias("band", "band_key")
     )
+    if max_docs_per_band_key is not None:
+        # window count, not groupBy+join — see ngram_jaccard_pairs
+        banded = (
+            banded.withColumn(
+                "__n_docs",
+                F.count("*").over(Window.partitionBy("band", "band_key")),
+            )
+            .filter(F.col("__n_docs") <= max_docs_per_band_key)
+            .drop("__n_docs")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -232,7 +290,7 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -
     token's hash is the MSB of hex digit j of md5(token) (digit ≥ '8').
     The doc's simhash bit j is the majority vote over its tokens; output is
     a ``bits``-char '0'/'1' string. Pure projection + one aggregate."""
-    tok = docs.select(
+    tok = _spread(docs).select(
         "doc_id", F.explode(tokens_col(F.col(text_col))).alias("token")
     ).withColumn("h", F.md5(F.col("token")))
     votes = [

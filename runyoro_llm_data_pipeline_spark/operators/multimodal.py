@@ -201,3 +201,106 @@ def real_decoder_or_raise(modality: str) -> Callable[[bytes], np.ndarray]:
             "Use decode_with(custom_decoder) or the deterministic fake."
         ) from e
     raise NotImplementedError("wire the imported codec into a decoder here")
+
+
+# --------------------------------------------------------- forced alignment
+ALIGNMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("pair_id", T.LongType(), False),
+        T.StructField("line_idx", T.LongType(), False),
+        T.StructField("begin_ms", T.LongType(), True),
+        T.StructField("end_ms", T.LongType(), True),
+    ]
+)
+
+
+def align_audio_text_proportional(
+    pairs: DataFrame, lines: DataFrame
+) -> DataFrame:
+    """Forced-alignment analogue of ``scripts/forced_alignment.py:16-61``
+    (audio ⨝ transcript → per-fragment time intervals / sync map).
+
+    The real aligner (aeneas) is a native optional dependency the
+    reference itself gates on import; its absence there yields no sync
+    map. Here the *pipeline* is first-class and the aligner kernel is
+    swappable: this default computes the standard proportional fallback —
+    each transcript line gets a slice of the audio duration proportional
+    to its character length — entirely in JVM window arithmetic (integer
+    DIV, no floats, no Python), so it is deterministic and
+    oracle-verifiable. Swap in a real aligner with
+    :func:`align_audio_text_cogroup`.
+
+    ``pairs``:  (pair_id, duration_ms);  ``lines``: (pair_id, line_idx,
+    text).  Output: (pair_id, line_idx, begin_ms, end_ms), contiguous and
+    ending exactly at duration_ms.
+    """
+    from pyspark.sql import Window
+
+    n = F.length("text").cast("long")
+    w_all = Window.partitionBy("pair_id")
+    w_cum = (
+        Window.partitionBy("pair_id")
+        .orderBy("line_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = lines.select(
+        "pair_id", F.col("line_idx").cast("long").alias("line_idx"), n.alias("__n")
+    )
+    cum = sized.select(
+        "pair_id",
+        "line_idx",
+        "__n",
+        F.sum("__n").over(w_cum).alias("__cum"),
+        F.sum("__n").over(w_all).alias("__total"),
+    )
+    joined = cum.join(F.broadcast(pairs), "pair_id")
+    dur = F.col("duration_ms").cast("long")
+    begin = F.try_divide(dur * (F.col("__cum") - F.col("__n")), F.col("__total"))
+    end = F.try_divide(dur * F.col("__cum"), F.col("__total"))
+    return joined.select(
+        "pair_id",
+        "line_idx",
+        F.floor(begin).cast("long").alias("begin_ms"),
+        F.floor(end).cast("long").alias("end_ms"),
+    )
+
+
+def align_audio_text_cogroup(
+    pairs: DataFrame,
+    lines: DataFrame,
+    kernel=None,
+    schema: T.StructType = ALIGNMENT_SCHEMA,
+) -> DataFrame:
+    """Pluggable-aligner form: cogroup the audio side with the transcript
+    side per ``pair_id`` and hand both pandas frames to ``kernel`` —
+    exactly where a real aligner (aeneas-style DTW over audio features)
+    slots in, Arrow-batched, one pair per group. The default kernel
+    reproduces the proportional fallback so the two forms are
+    equivalence-testable."""
+
+    def default_kernel(audio_pdf: pd.DataFrame, text_pdf: pd.DataFrame) -> pd.DataFrame:
+        if audio_pdf.empty or text_pdf.empty:
+            return pd.DataFrame(
+                {"pair_id": [], "line_idx": [], "begin_ms": [], "end_ms": []}
+            ).astype({"pair_id": "int64", "line_idx": "int64",
+                      "begin_ms": "int64", "end_ms": "int64"})
+        dur = int(audio_pdf["duration_ms"].iloc[0])
+        t = text_pdf.sort_values("line_idx")
+        ln = t["text"].str.len().astype("int64")
+        total = int(ln.sum())
+        cum = ln.cumsum()
+        return pd.DataFrame(
+            {
+                "pair_id": t["pair_id"].astype("int64"),
+                "line_idx": t["line_idx"].astype("int64"),
+                "begin_ms": (dur * (cum - ln)) // total,
+                "end_ms": (dur * cum) // total,
+            }
+        )
+
+    kernel = kernel or default_kernel
+    return (
+        pairs.groupBy("pair_id")
+        .cogroup(lines.groupBy("pair_id"))
+        .applyInPandas(kernel, schema=schema)
+    )

@@ -1,0 +1,123 @@
+"""Web-scrape connector (S7 static / S8 dynamic) — fetch + extract.
+
+The reference scrapes with requests+BeautifulSoup (static,
+``scripts/core_components.py:45-61``) or Selenium-rendered page source
+(dynamic, ``:63-81``), then takes the main content block —
+``<article>``, else ``<main>``, else ``<div class="content">``, else the
+whole document — as ``get_text(separator=" ", strip=True)``.
+
+Spark-first split:
+
+* **fetch** is I/O against the outside world — a ``mapInPandas`` stage
+  with a pluggable ``url -> html`` kernel (``fetch_pages``). requests /
+  selenium are absent in this container, so the default kernel is a
+  deterministic fake (hash-derived HTML); a real deployment passes
+  ``requests.get``-backed or webdriver-backed kernels for the static /
+  dynamic branches. Batch shape, schema, and error columns are real.
+  Politeness (per-domain rate limits) belongs in the kernel; partition
+  by domain (``F.parse_url``-style projection) so one task owns one
+  domain's budget.
+* **extract** is pure string work — JVM column expressions
+  (``html_main_content`` / ``html_to_text``), whole-stage-codegen'd, no
+  Python. Patterns are RE2-compatible (no backreferences) so the DuckDB
+  oracle runs the identical regexes (query ``scrape_extract``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("html", T.StringType(), True),
+        T.StructField("fetch_error", T.StringType(), True),
+    ]
+)
+
+
+def fake_fetch_kernel(url: str) -> str:
+    """Deterministic offline stand-in for requests/selenium: hash-derived
+    HTML with the canonical main-content shapes."""
+    import hashlib
+
+    h = hashlib.md5(url.encode()).hexdigest()
+    body = f"<p>content {h[:12]} for {url}</p>"
+    shape = int(h[0], 16) % 3
+    if shape == 0:
+        return f"<html><body><nav>menu</nav><article>{body}</article></body></html>"
+    if shape == 1:
+        return f"<html><body><main>{body}</main><footer>f</footer></body></html>"
+    return f"<html><body>{body}</body></html>"
+
+
+def fetch_pages(
+    urls: DataFrame,
+    kernel: Callable[[str], str] = fake_fetch_kernel,
+    url_col: str = "url",
+) -> DataFrame:
+    """Arrow-batched fetch stage: one kernel call per URL, whole batches
+    in/out, failures captured per-row in ``fetch_error`` instead of
+    failing the task (the reference logs-and-returns-empty,
+    ``core_components.py:56-61``)."""
+    import pandas as pd
+
+    sel = urls.select(F.col(url_col).alias("url"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            htmls, errs = [], []
+            for u in pdf["url"]:
+                try:
+                    htmls.append(kernel(u))
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — kernel is untrusted I/O
+                    htmls.append(None)
+                    errs.append(str(e)[:500])
+            yield pd.DataFrame(
+                {"url": pdf["url"], "html": htmls, "fetch_error": errs}
+            )
+
+    return sel.mapInPandas(run, schema=FETCH_SCHEMA)
+
+
+def _nonempty(c: Column) -> Column:
+    return F.when(F.length(c) > 0, c)
+
+
+def html_main_content(html: Column) -> Column:
+    """The soup ``find("article") or find("main") or find("div",
+    class_="content")`` preference chain as RE2-safe regexp extraction;
+    falls back to the whole document exactly like the reference."""
+    article = F.regexp_extract(html, r"(?s)<article[^>]*>(.*?)</article>", 1)
+    main = F.regexp_extract(html, r"(?s)<main[^>]*>(.*?)</main>", 1)
+    divc = F.regexp_extract(
+        html, r'(?s)<div[^>]*class="content"[^>]*>(.*?)</div>', 1
+    )
+    return F.coalesce(
+        _nonempty(article), _nonempty(main), _nonempty(divc), html
+    )
+
+
+def html_to_text(html: Column) -> Column:
+    """``get_text(separator=" ", strip=True)`` analogue: drop script/style
+    subtrees (separate patterns — RE2 has no backreferences), strip tags,
+    unescape the basic entities, collapse whitespace, trim."""
+    x = F.regexp_replace(html, r"(?s)<script[^>]*>.*?</script>", " ")
+    x = F.regexp_replace(x, r"(?s)<style[^>]*>.*?</style>", " ")
+    x = F.regexp_replace(x, r"<[^>]+>", " ")
+    x = F.replace(x, F.lit("&amp;"), F.lit("&"))
+    x = F.replace(x, F.lit("&lt;"), F.lit("<"))
+    x = F.replace(x, F.lit("&gt;"), F.lit(">"))
+    x = F.replace(x, F.lit("&nbsp;"), F.lit(" "))
+    x = F.regexp_replace(x, r"\s+", " ")
+    return F.trim(x)
+
+
+def scrape_text(html: Column) -> Column:
+    """Full extract pipeline: main-content preference → text."""
+    return html_to_text(html_main_content(html))

@@ -90,45 +90,101 @@ def rh_signature_col(vec, n_planes: int, dim: int, table: int = 0):
     return F.concat(*bits)
 
 
+def infer_dim(embeddings: DataFrame, vec_col: str = "embedding") -> int:
+    """Embedding dimensionality from the first vector (1-row driver job).
+    Hyperplanes MUST match the true dim: with a wrong dim, ``zip_with``
+    null-pads, every dot product goes null, and each signature bit
+    silently collapses to '0' — LSH degrades to an all-match filter."""
+    row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer embedding dim from column {vec_col!r}")
+    return int(row["d"])
+
+
+def _checked_vec(v, dim: int):
+    """Fail loudly (not silently-null) on any row whose vector length
+    differs from the hyperplane dim."""
+    return F.when(F.size(v) == dim, v).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"embedding dim mismatch: expected {dim}, got "),
+                F.size(v).cast("string"),
+            )
+        )
+    )
+
+
+def build_lsh_index(
+    embeddings: DataFrame,
+    n_planes: int = 3,
+    n_tables: int = 12,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The ANN **index**: one row per (vec_id, tbl) with the vector's
+    random-hyperplane signature in that hash table — ``docs × n_tables``
+    rows, computed in ONE pass over the corpus. Materialize it once
+    (parquet, partitioned however the serving layer likes) and every query
+    becomes an equi-join on (tbl, sig) against ~|corpus|·n_tables/2^n_planes
+    candidate rows — no per-query signature recompute over the corpus."""
+    emb = embeddings.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
+    if dim is None:
+        dim = infer_dim(embeddings, vec_col)
+    v = _checked_vec(F.col("v"), dim)
+    per_table = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                rh_signature_col(v, n_planes, dim, table=t).alias("sig"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return emb.select(
+        "vec_id", F.explode(per_table).alias("e")
+    ).select("vec_id", F.col("e.tbl").alias("tbl"), F.col("e.sig").alias("sig"))
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     query_vec_id: int = 0,
     k: int = 10,
     n_planes: int = 3,
-    dim: int = 64,
+    dim: int | None = None,
     vec_col: str = "embedding",
     n_tables: int = 12,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """ANN: score only vectors whose hyperplane signature matches the
     query's in at least one of ``n_tables`` independent hash tables
     (standard multi-table LSH: per-table candidate fraction ≈ 2^-n_planes,
     union across tables recovers recall; recall pinned by
-    tests/test_similarity.py). Approximate — driver records the rows-only
-    check for this one."""
+    tests/test_similarity.py).
+
+    Index-shaped: candidates come from an equi-join of the query's
+    ``n_tables`` signature rows (broadcast) against the signature table —
+    a hash join selecting the candidate fraction, not a corpus scan with
+    post-hoc filtering. Pass ``index`` (from ``build_lsh_index``, e.g.
+    read back from parquet) to serve many queries off one build; exact
+    cosine re-scoring touches only the candidate rows."""
     emb = embeddings.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
-    sigs = emb.select(
-        "vec_id",
-        "v",
-        *[
-            rh_signature_col(F.col("v"), n_planes, dim, table=t).alias(f"sig{t}")
-            for t in range(n_tables)
-        ],
+    idx = (
+        index
+        if index is not None
+        else build_lsh_index(embeddings, n_planes, n_tables, dim, vec_col)
     )
-    q = sigs.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("v").alias("q"),
-        *[F.col(f"sig{t}").alias(f"qsig{t}") for t in range(n_tables)],
-    )
-    match_any = None
-    for t in range(n_tables):
-        m = F.col(f"sig{t}") == F.col(f"qsig{t}")
-        match_any = m if match_any is None else (match_any | m)
+    qsig = idx.filter(F.col("vec_id") == query_vec_id).select("tbl", "sig")
     cands = (
-        sigs.filter(F.col("vec_id") != query_vec_id)
-        .crossJoin(F.broadcast(q))
-        .filter(match_any)
+        idx.join(F.broadcast(qsig), on=["tbl", "sig"])
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id")
+        .distinct()
     )
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(F.col("v").alias("q"))
     return (
-        cands.select(
+        cands.join(emb, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
             "vec_id",
             F.round(
                 _dot(F.col("v"), F.col("q")) / (_norm(F.col("v")) * _norm(F.col("q"))), 6

@@ -76,3 +76,42 @@ def test_resize_meta_caps_and_preserves_aspect(spark):
             assert (r["target_width"], r["target_height"]) == (
                 r["width"], r["height"],
             )
+
+
+def test_forced_alignment_proportional_and_cogroup_agree(spark):
+    """The pure-JVM proportional sync map and the pluggable-kernel
+    cogroup form (the slot a real aeneas-style aligner plugs into) must
+    produce identical intervals; intervals are contiguous and end at the
+    audio duration."""
+    from pyspark.sql import functions as F
+
+    from runyoro_llm_data_pipeline_spark.operators.multimodal import (
+        align_audio_text_cogroup,
+        align_audio_text_proportional,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lines = docs.select(
+        (F.col("doc_id") % 7).cast("long").alias("pair_id"),
+        F.expr("CAST(doc_id DIV 7 AS BIGINT)").alias("line_idx"),
+        "text",
+    )
+    pairs = (
+        lines.select("pair_id").distinct()
+        .withColumn("duration_ms", ((F.col("pair_id") + 3) * 1000).cast("long"))
+    )
+    a = align_audio_text_proportional(pairs, lines)
+    b = align_audio_text_cogroup(pairs, lines)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # contiguity: each line begins where the previous ended; last ends at
+    # duration_ms
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pair_id").orderBy("line_idx")
+    gaps = a.withColumn("prev_end", F.lag("end_ms").over(w)).filter(
+        F.col("prev_end").isNotNull() & (F.col("prev_end") != F.col("begin_ms"))
+    )
+    assert gaps.count() == 0
+    last = a.groupBy("pair_id").agg(F.max("end_ms").alias("e")).join(pairs, "pair_id")
+    assert last.filter(F.col("e") != F.col("duration_ms")).count() == 0

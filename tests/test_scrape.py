@@ -1,0 +1,75 @@
+"""S7/S8 scrape connector: pluggable fetch kernel + JVM extraction."""
+
+from pyspark.sql import functions as F
+
+from runyoro_llm_data_pipeline_spark.operators.scrape import (
+    fetch_pages,
+    html_main_content,
+    html_to_text,
+    scrape_text,
+)
+
+
+def test_fetch_pages_fake_kernel_and_error_capture(spark):
+    urls = spark.createDataFrame(
+        [("https://a.example/x",), ("https://b.example/y",), ("boom://z",)],
+        "url string",
+    )
+
+    def kernel(u: str) -> str:
+        if u.startswith("boom"):
+            raise RuntimeError("connection refused")
+        return f"<html><body><article><p>page {u}</p></article></body></html>"
+
+    got = {r["url"]: r for r in fetch_pages(urls, kernel=kernel).collect()}
+    assert got["https://a.example/x"]["html"].startswith("<html>")
+    assert got["https://a.example/x"]["fetch_error"] is None
+    # failures land in fetch_error, not task failure (reference logs+skips)
+    assert got["boom://z"]["html"] is None
+    assert "connection refused" in got["boom://z"]["fetch_error"]
+
+    # deterministic default kernel: same URL → same page
+    a = fetch_pages(urls.limit(1)).collect()[0]["html"]
+    b = fetch_pages(urls.limit(1)).collect()[0]["html"]
+    assert a == b
+
+
+def test_extraction_preference_chain(spark):
+    cases = [
+        # article wins over surrounding noise incl. script subtree
+        ("<html><body><nav>m</nav><article><p>A &amp; B</p></article>"
+         "<script>var x=1;</script></body></html>", "A & B"),
+        # main is the fallback after article
+        ("<html><body><main><h1>T</h1><p>body text</p></main>"
+         "<footer>f</footer></body></html>", "T body text"),
+        # div.content third
+        ('<html><body><div class="content"><p>inner</p></div>'
+         "<div>outer</div></body></html>", "inner"),
+        # nothing matches → whole document text (reference fallback)
+        ("<html><body><div class=\"nav\">MENU</div><p>x  y</p></body></html>",
+         "MENU x y"),
+        # style subtree dropped, entities unescaped, whitespace collapsed
+        ("<html><style>p{color:red}</style><body><p>a&lt;b&nbsp;&gt;c</p>"
+         "</body></html>", "a<b >c"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i int, html string"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", scrape_text(F.col("html")).alias("t")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_extract_is_jvm_only(spark):
+    """The extraction pipeline must stay in whole-stage codegen (no
+    Python eval nodes) — scrape extraction at 100 TB is regex over
+    billions of pages."""
+    df = spark.range(10).select(
+        F.concat(F.lit("<html><body><p>t"), F.col("id"), F.lit("</p></body></html>")).alias("html")
+    )
+    plan = df.select(html_to_text(html_main_content(F.col("html"))).alias("t"))
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
