@@ -1,0 +1,177 @@
+"""Executor-JVM scaling bench — the N → 4N *executor* evidence.
+
+BASELINE.json's north_rule states the ≥0.8 scaling-efficiency criterion
+over executor counts (N and 4N executors), not threads. ``bench_scaling.py``
+measured ``local[N]`` vs ``local[4N]`` — thread scaling inside ONE JVM —
+and BENCH.md round 1 documented that this sandbox's single-JVM per-core
+throughput degrades continuously with thread count (a pure-JVM control
+degrades identically), capping that measurement at 0.59-0.82.
+
+This script runs the real A/B: Spark **standalone local-cluster mode**
+(``local-cluster[n_exec, cores, worker_mb]``), which launches each executor
+as a SEPARATE JVM process with its own heap — the faithful sandbox analogue
+of ``spark-submit`` against a standalone cluster at two sizes. The job, the
+materialized input log, and every engine knob are identical between the two
+configurations; only the executor count changes (N=1 → 4N=4, 8 cores each).
+Shuffle partitions scale with total cores, as they would via ``--conf`` on
+a real cluster.
+
+Shuffle/table dirs live on /dev/shm: each executor on a real cluster has
+its own local NVMe, so I/O bandwidth scales with executor count; this
+sandbox has one shared virtio disk that would serialize I/O across all
+configs and measure the disk, not the engine (BENCH.md round-1 diagnosis).
+
+Usage:  python bench_scaling_cluster.py [n_turns] [reps]
+Prints one JSON line with every repetition (no best-of-N selection) and
+the mean-based efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+# 4 cores/executor (N=1 → 4N=4 executors = 4 → 16 cores): executor-count
+# scaling without also saturating all 32 host cores, whose shared DRAM
+# bandwidth is the sandbox's hard ceiling (BENCH.md round-1 controls)
+CORES_PER_EXEC = int(os.environ.get("SCALING_CORES", "4"))
+
+_CHILD = r"""
+import os, sys, time, json, shutil
+sys.path.insert(0, %(repo)r)
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+from runyoro_llm_data_pipeline_spark.session import get_spark
+phase = sys.argv[1]; work = sys.argv[2]; n_exec = int(sys.argv[3]); n_turns = int(sys.argv[4])
+cores = %(cores)d
+log = os.path.join(work, "log")
+if phase == "gen":
+    spark = get_spark(app_name="scaling-gen", master="local[32]",
+                      shuffle_partitions=32)
+    from runyoro_llm_data_pipeline_spark.cdc.generator import gen_change_log, write_batch_files
+    n_batches = int(os.environ.get("SCALING_BATCHES", "2"))
+    events, _ = gen_change_log(spark, n_turns=n_turns, n_convs=max(n_turns // 20, 10),
+                               n_batches=n_batches, tool_from_batch=min(2, n_batches - 1))
+    write_batch_files(events, log, tool_from_batch=min(2, n_batches - 1))
+    n = sum(spark.read.parquet(os.path.join(log, d)).count() for d in os.listdir(log))
+    # small warm-up log (1/40 of the main one) applied UNTIMED before the
+    # measured ingest: a fresh executor JVM spends its first ~30-40 s
+    # JIT-compiling the scan/normalize/agg/parquet code paths, a constant
+    # cost a long-running cluster job amortizes away; leaving it inside the
+    # timed window deflates whichever config is faster (BENCH.md round-2)
+    warm, _ = gen_change_log(spark, n_turns=max(n_turns // 40, 100_000),
+                             n_convs=max(n_turns // 800, 10), n_batches=1)
+    write_batch_files(warm, os.path.join(work, "warmlog"))
+    print(json.dumps({"events": n}))
+else:
+    total_cores = n_exec * cores
+    local_dir = os.path.join(work, f"spark-local-{n_exec}")
+    spark = get_spark(
+        app_name=f"scaling-exec-{n_exec}",
+        master=f"local-cluster[{n_exec},{cores},10240]",
+        shuffle_partitions=total_cores,
+        extra_conf={
+            "spark.executor.memory": "9g",
+            "spark.local.dir": local_dir,
+            "spark.executorEnv.PYTHONPATH": %(repo)r,
+            # fixed partition counts: AQE's per-query-stage replan barriers
+            # add driver latency per batch without helping this fully-known
+            # plan (same setting in both configs)
+            "spark.sql.adaptive.enabled": "false",
+        },
+    )
+    # wait until every executor has registered so the timed run does not
+    # include executor-JVM cold start (a real cluster is already up)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        execs = [e for e in spark._jsc.sc().statusTracker().getExecutorInfos()
+                 if e.host() != "driver"]
+        if len(execs) >= n_exec:
+            break
+        time.sleep(0.5)
+    from runyoro_llm_data_pipeline_spark.cdc.ingest import CdcIngest
+    impl = os.environ.get("SCALING_IMPL", "maxby")
+    table = os.path.join(work, f"scaling_table_{n_exec}")
+    warm_table = os.path.join(work, f"warm_table_{n_exec}")
+    shutil.rmtree(table, ignore_errors=True)
+    shutil.rmtree(warm_table, ignore_errors=True)
+    try:
+        # untimed JIT warm-up pass over a small separate log (see gen)
+        CdcIngest(warm_table, os.path.join(work, "warmlog"), num_buckets=32,
+                  mode="mor", compact_max_files=8, collapse_impl=impl).run(spark)
+        shutil.rmtree(warm_table, ignore_errors=True)
+        ing = CdcIngest(table, log, num_buckets=32, mode="mor", compact_max_files=8,
+                        collapse_impl=impl)
+        t0 = time.perf_counter()
+        res = ing.run(spark)
+        dt = time.perf_counter() - t0
+        assert all(r["status"] == "applied" for r in res)
+        rows = ing.table().read(spark).count()
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+        shutil.rmtree(local_dir, ignore_errors=True)
+    print(json.dumps({"n_exec": n_exec, "sec": round(dt, 2), "rows": rows,
+                      "batch_secs": [r["sec"] for r in res]}))
+"""
+
+
+def _run(phase: str, work: str, n_exec: int, n_turns: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", _CHILD % {"repo": REPO, "cores": CORES_PER_EXEC},
+         phase, work, str(n_exec), str(n_turns)],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    work = tempfile.mkdtemp(prefix="scaling_", dir="/dev/shm")
+    try:
+        gen = _run("gen", work, 0, n_turns)
+        # alternate configs (1,4,4,1,…) so machine drift cancels instead of
+        # biasing one side; report every repetition
+        runs: list[dict] = []
+        order: list[int] = []
+        for i in range(reps):
+            order += [1, 4] if i % 2 == 0 else [4, 1]
+        for n_exec in order:
+            r = _run("ingest", work, n_exec, n_turns)
+            r["events_per_sec"] = round(gen["events"] / r["sec"], 1)
+            runs.append(r)
+            print(json.dumps({"progress": r}), file=sys.stderr, flush=True)
+        lo = [r for r in runs if r["n_exec"] == 1]
+        hi = [r for r in runs if r["n_exec"] == 4]
+        mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+        r_lo = mean([r["events_per_sec"] for r in lo])
+        r_hi = mean([r["events_per_sec"] for r in hi])
+        eff = (r_hi / r_lo) / 4
+        print(
+            json.dumps(
+                {
+                    "protocol": "local-cluster separate executor JVMs, "
+                                f"{CORES_PER_EXEC} cores/executor, N=1 vs 4N=4",
+                    "events": gen["events"],
+                    "runs": runs,
+                    "events_per_sec_N_mean": round(r_lo, 1),
+                    "events_per_sec_4N_mean": round(r_hi, 1),
+                    "scaling_efficiency_mean": round(eff, 3),
+                    "scaling_efficiency_per_rep": [
+                        round((h["events_per_sec"] / l["events_per_sec"]) / 4, 3)
+                        for l, h in zip(lo, hi)
+                    ],
+                    "pass": eff >= 0.8,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
