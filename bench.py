@@ -48,6 +48,7 @@ HEADLINE = [
     "doc_stats",
     "audio_text_pairs",
     "forced_alignment",
+    "scrape_extract",
 ]
 
 

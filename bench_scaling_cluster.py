@@ -72,10 +72,10 @@ else:
     local_dir = os.path.join(work, f"spark-local-{n_exec}")
     spark = get_spark(
         app_name=f"scaling-exec-{n_exec}",
-        master=f"local-cluster[{n_exec},{cores},10240]",
+        master=f"local-cluster[{n_exec},{cores},14336]",
         shuffle_partitions=total_cores,
         extra_conf={
-            "spark.executor.memory": "9g",
+            "spark.executor.memory": "12g",
             "spark.local.dir": local_dir,
             "spark.executorEnv.PYTHONPATH": %(repo)r,
             # fixed partition counts: AQE's per-query-stage replan barriers

@@ -496,6 +496,7 @@ class LakeTable:
         kind: str = "base",
         pre_partitioned: bool = False,
         salt_cols: list[str] | None = None,
+        sort_cols: list[str] | None = None,
     ) -> list[dict[str, Any]]:
         """Write ``df`` (must contain ``__bucket``) into this snapshot's data
         dir, one Parquet directory partition per bucket; returns manifest
@@ -525,6 +526,14 @@ class LakeTable:
                 df = df.repartition(n_out * 2, "__bucket", salt)
             else:
                 df = df.repartition(n_out, "__bucket")
+        if sort_cols:
+            # cluster rows by key within each written file so parquet
+            # row-group min/max statistics become selective — a point
+            # lookup (read_conversation) then skips most row groups of
+            # the pruned bucket's files. Used by compact()/rebucket():
+            # hot-path delta writes stay sort-free (sorting there would
+            # tax ingest throughput for transient files).
+            df = df.sortWithinPartitions("__bucket", *sort_cols)
         (
             df.write.mode("overwrite")
             .partitionBy("__bucket")
@@ -585,7 +594,8 @@ class LakeTable:
         )
         version = snap.version + 1
         new_files = self.write_data_files(
-            compacted, version, buckets_hint=max(len(buckets), 1), kind="base"
+            compacted, version, buckets_hint=max(len(buckets), 1), kind="base",
+            sort_cols=self.key_cols,
         )
         carried = [f for f in snap.files if f["bucket"] not in buckets]
         self.commit(
@@ -736,7 +746,8 @@ class LakeTable:
             )
             version = snap.version + 1
             new_files = self.write_data_files(
-                out, version, buckets_hint=new_num_buckets, kind="base"
+                out, version, buckets_hint=new_num_buckets, kind="base",
+                sort_cols=self.key_cols,
             )
             self.commit(
                 new_files=new_files,

@@ -282,3 +282,35 @@ def _all_data_files(root):
     for dirpath, _, fns in os.walk(os.path.join(root, "data")):
         out += [os.path.join(dirpath, f) for f in fns if f.endswith(".parquet")]
     return out
+
+
+# --------------------------------------------- key-clustered compaction
+def test_compaction_clusters_rows_by_key(spark, tmp_lake, tmp_path_factory):
+    """compact() writes each bucket's base file key-sorted, so parquet
+    row-group min/max stats on conv_id become selective for point
+    lookups; delta writes stay sort-free (ingest hot path)."""
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("sortc"))
+    events, _ = gen_change_log(spark, n_turns=2000, n_convs=40, n_batches=2)
+    write_batch_files(events, d)
+    ing = CdcIngest(
+        os.path.join(tmp_lake, "t"), d, num_buckets=4, mode="mor",
+        compact_max_files=None,
+    )
+    ing.run(spark)
+    t = ing.table()
+    t.compact(spark)
+    base = [f for f in t.current().files if f.get("kind") == "base"]
+    assert base
+    checked = 0
+    for f in base:
+        tb = pq.read_table(os.path.join(t.path, f["path"]), columns=["conv_id", "turn_idx"])
+        rows = list(zip(tb.column("conv_id").to_pylist(), tb.column("turn_idx").to_pylist()))
+        assert rows == sorted(rows), f["path"]
+        checked += 1
+    assert checked >= 2
+    # point lookup still correct on the clustered layout
+    conv = spark.read.parquet(os.path.join(d, "batch_00000")).select("conv_id").first()[0]
+    expect = t.read(spark).filter(F.col("conv_id") == conv).count()
+    assert t.read_conversation(spark, conv).count() == expect
