@@ -821,7 +821,7 @@ SELECT doc_id,
              '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
              '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
              '<[^>]+>', ' ', 'g'),
-           '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '),
+           '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '), '&amp;', '&'),
          '\\s+', ' ', 'g')) AS page_text
 FROM c
 """

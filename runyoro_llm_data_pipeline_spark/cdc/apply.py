@@ -273,7 +273,10 @@ def _apply_mor(
     )
     stats = _footer_stats(table, new_files)
     metrics = obs.get
-    n_rejected = int(metrics["n_total"]) - int(metrics["n_valid"])
+    # F.sum over an empty batch observes NULL (count observes 0); guard all
+    # three so an empty poll commits a no-op batch instead of raising
+    n_total = int(metrics["n_total"] or 0)
+    n_rejected = n_total - int(metrics["n_valid"] or 0)
     n_late = int(metrics["n_late"] or 0)
     plan = {
         "new_files": new_files,

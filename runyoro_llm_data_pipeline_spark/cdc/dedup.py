@@ -192,8 +192,12 @@ def collapse_latest_wins_bucketed(
         n_part = int(
             events.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
-    # round up to a multiple of num_buckets ≥ 2×buckets so each task
-    # writes exactly one bucket directory
+    # round up to a multiple of num_buckets ≥ 2×buckets so each FINE CELL
+    # lies wholly inside one bucket (the clustering property the plan
+    # needs). Note: repartition(n, '__fine') hash-partitions the __fine
+    # VALUE (murmur3 mod P), so one task may still hold fine cells from
+    # several buckets — tasks are not one-bucket-aligned, only cells are;
+    # the write fan-out is bounded at ≤ cells-per-task directories
     k = max(2, -(-n_part // num_buckets))
     n_part = k * num_buckets
     fine = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_part)).cast("int")

@@ -110,10 +110,12 @@ def html_to_text(html: Column) -> Column:
     x = F.regexp_replace(html, r"(?s)<script[^>]*>.*?</script>", " ")
     x = F.regexp_replace(x, r"(?s)<style[^>]*>.*?</style>", " ")
     x = F.regexp_replace(x, r"<[^>]+>", " ")
-    x = F.replace(x, F.lit("&amp;"), F.lit("&"))
+    # &amp; must unescape LAST (html.unescape parity): doing it first turns
+    # '&amp;lt;' into '&lt;' and then into '<' — a double-unescape
     x = F.replace(x, F.lit("&lt;"), F.lit("<"))
     x = F.replace(x, F.lit("&gt;"), F.lit(">"))
     x = F.replace(x, F.lit("&nbsp;"), F.lit(" "))
+    x = F.replace(x, F.lit("&amp;"), F.lit("&"))
     x = F.regexp_replace(x, r"\s+", " ")
     return F.trim(x)
 

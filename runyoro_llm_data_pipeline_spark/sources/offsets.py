@@ -112,7 +112,15 @@ class ParquetOffsetLog:
                     continue
                 cached = self._footer_cache.get(rel)
                 if cached is None or cached[0] != st.st_size or cached[1] != st.st_mtime:
-                    fmax = self._file_max_lsn(full)
+                    import pyarrow as pa
+
+                    try:
+                        fmax = self._file_max_lsn(full)
+                    except (OSError, pa.ArrowInvalid):
+                        # a file mid-write by the producer (torn footer) or
+                        # corrupt: skip WITHOUT caching so the next poll
+                        # retries it once the writer finishes
+                        continue
                     self._footer_cache[rel] = (st.st_size, st.st_mtime, fmax)
                 else:
                     fmax = cached[2]

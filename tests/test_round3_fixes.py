@@ -1,0 +1,134 @@
+"""Round-3 hardening (ADVICE.md fixes): empty-batch apply commits a
+no-op instead of crashing, torn/corrupt offset-log footers are skipped
+and retried, and HTML entity unescaping matches ``html.unescape`` order
+(``&amp;`` last)."""
+
+import html
+import os
+
+from pyspark.sql import functions as F
+
+from runyoro_llm_data_pipeline_spark.cdc.apply import apply_batch
+from runyoro_llm_data_pipeline_spark.cdc.events import EVENT_SCHEMA
+from runyoro_llm_data_pipeline_spark.cdc.generator import gen_change_log
+from runyoro_llm_data_pipeline_spark.lake.table import LakeTable
+from runyoro_llm_data_pipeline_spark.sources.offsets import ParquetOffsetLog
+
+
+def _mk_table(tmp_lake, name="t"):
+    from runyoro_llm_data_pipeline_spark.cdc.events import TRANSCRIPT_SCHEMA
+
+    return LakeTable.create(
+        os.path.join(tmp_lake, name), TRANSCRIPT_SCHEMA, num_buckets=4
+    )
+
+
+def test_empty_batch_commits_noop(spark, tmp_lake):
+    """ADVICE(medium): F.sum over zero observed rows yields NULL; an empty
+    batch (empty poll window / empty batch dir) must commit a no-op batch,
+    not raise TypeError from the metrics arithmetic."""
+    t = _mk_table(tmp_lake)
+    events, _ = gen_change_log(spark, n_turns=50, n_convs=5, n_batches=1)
+    r0 = apply_batch(spark, t, events, batch_id=0)
+    assert r0["status"] == "applied"
+    rows_before = t.read(spark).count()
+
+    empty = spark.createDataFrame([], EVENT_SCHEMA)
+    r1 = apply_batch(spark, t, empty, batch_id=1)
+    assert r1["status"] == "applied"
+    assert r1.get("late_events", 0) == 0
+
+    # idempotence ledger advanced (batch 1 recorded), data unchanged
+    assert "1" in t.current().applied
+    assert t.read(spark).count() == rows_before
+    r1b = apply_batch(spark, t, empty, batch_id=1)
+    assert r1b["status"] == "skipped"
+
+
+def test_all_rejected_batch_commits_noop(spark, tmp_lake):
+    """Same guard for a batch where every row fails admission: n_valid
+    observes 0 valid rows but n_total > 0 — n_rejected must equal the
+    batch size and the commit still land."""
+    t = _mk_table(tmp_lake)
+    import datetime as dt
+
+    now = dt.datetime(2026, 1, 1)
+    bad = spark.createDataFrame(
+        [("upsert", "", -1, "user", "x", None, now, now, 1, 0)],
+        EVENT_SCHEMA,
+    )
+    r = apply_batch(spark, t, bad, batch_id=0)
+    assert r["status"] == "applied"
+    assert t.read(spark).count() == 0
+
+
+def test_torn_footer_skipped_and_retried(spark, tmp_path_factory):
+    """ADVICE(low): a parquet file mid-write by the producer (torn footer)
+    must not crash latest_offsets; it is skipped WITHOUT caching so the
+    next poll picks it up once complete."""
+    root = str(tmp_path_factory.mktemp("offlog"))
+    log = ParquetOffsetLog(root)
+    ev = spark.range(10).select(
+        F.lit("upsert").alias("op"),
+        F.concat(F.lit("c"), F.col("id")).alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit("hi").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.current_timestamp().alias("ts"),
+        F.current_timestamp().alias("event_ts"),
+        F.col("id").alias("lsn"),
+        F.lit(0).cast("long").alias("batch_id"),
+        F.pmod(F.col("id"), F.lit(2)).cast("int").alias("log_part"),
+    )
+    log.append(ev)
+    good = log.latest_offsets(spark)
+    assert good and max(good.values()) == 9
+
+    # drop a torn file into partition 0: poll must survive and ignore it
+    pdir = os.path.join(root, "log_part=0")
+    torn = os.path.join(pdir, "part-torn.parquet")
+    with open(torn, "wb") as f:
+        f.write(b"PAR1\x00\x01\x02 not a real footer")
+    assert log.latest_offsets(spark) == good
+
+    # writer finishes: replace with a valid file carrying a higher lsn —
+    # a fresh poll (no stale cache entry) must see it
+    src_dir = os.path.join(root, "log_part=1")
+    src = next(
+        os.path.join(src_dir, f)
+        for f in os.listdir(src_dir)
+        if f.endswith(".parquet")
+    )
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(src)
+    import pyarrow.compute as pc
+
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("lsn"),
+        "lsn",
+        pc.add(tbl.column("lsn"), 100),
+    )
+    pq.write_table(tbl, torn)
+    after = log.latest_offsets(spark)
+    assert after["0"] >= 100
+
+
+def test_entity_unescape_order_matches_html_unescape(spark):
+    """ADVICE(low): '&amp;lt;' must unescape to '&lt;' (one level), not
+    '<' (double-unescape) — i.e. &amp; is replaced LAST."""
+    from runyoro_llm_data_pipeline_spark.operators.scrape import html_to_text
+
+    cases = [
+        "a &amp;lt; b",
+        "x &amp;amp; y",
+        "&lt;tag&gt; &amp; &nbsp;done",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["html"])
+    got = [r[0] for r in df.select(html_to_text(F.col("html"))).collect()]
+    for c, g in zip(cases, got):
+        want = " ".join(
+            html.unescape(c).replace("\xa0", " ").split()
+        ).strip()
+        assert g == want, (c, g, want)
