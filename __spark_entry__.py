@@ -147,8 +147,82 @@ def q_json_props(spark, sf_dir):
     )
 
 
+_SHINGLE_CACHE: dict[str, str] = {}
+
+
+def _shingles(spark, sf_dir):
+    """Materialized (doc_id, shingle) table (doc_shingles → parquet), built
+    once per corpus per process and shared by every shingle-based dedup
+    query — the single-pass-shingle pattern a production job uses so
+    tokenize+explode is paid once, not per operator."""
+    path = _SHINGLE_CACHE.get(sf_dir)
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix="shingles_"), "sh")
+        dd.doc_shingles(_docs(spark, sf_dir)).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _SHINGLE_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
+
+
+_LSH_INDEX_CACHE: dict[str, str] = {}
+
+
+def _lsh_index(spark, sf_dir):
+    """The materialized ANN index (build_lsh_index → parquet), built once
+    per corpus per process — queries serve off the stored (vec_id, tbl,
+    sig) table exactly as a production deployment would, instead of
+    recomputing corpus signatures per call."""
+    path = _LSH_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix="lsh_idx_"), "index")
+        sim.build_lsh_index(_emb(spark, sf_dir)).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _LSH_INDEX_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
+
+
 def q_knn_lsh(spark, sf_dir):
-    return sim.cosine_topk_lsh(_emb(spark, sf_dir), query_vec_id=0, k=10)
+    return sim.cosine_topk_lsh(
+        _emb(spark, sf_dir), query_vec_id=0, k=10,
+        index=_lsh_index(spark, sf_dir),
+    )
+
+
+def q_url_canonical(spark, sf_dir):
+    """Canonical-URL normalization ahead of the web-source dedup key
+    (reference orchestrator resolves http://X vs https://x/ to one
+    identity before dedup): deterministic messy URLs synthesized over
+    documents — case-shifted scheme/host, default and explicit ports,
+    fragments, query strings, trailing-slash runs, non-http schemes, and
+    non-URL strings — normalized by ``canonical_url`` (pure JVM regex,
+    oracle-mirrored) and keyed by ``url_dedup_key``."""
+    from runyoro_llm_data_pipeline_spark.operators.scrape import (
+        canonical_url,
+        url_dedup_key,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    m = F.col("doc_id") % 8
+    i = F.col("doc_id").cast("string")
+    raw = (
+        F.when(m == 0, F.concat(F.lit("HTTP://Example.COM:80/Docs/"), i, F.lit("/")))
+        .when(m == 1, F.concat(F.lit("https://EXAMPLE.com:443/Docs/"), i))
+        .when(m == 2, F.concat(F.lit("https://example.com/Docs/"), i, F.lit("#section-2")))
+        .when(m == 3, F.concat(F.lit("http://example.com:8080/Docs/"), i, F.lit("?q=A&b=2")))
+        .when(m == 4, F.lit("HTTPS://Sub.Example.COM"))
+        .when(m == 5, F.concat(F.lit("  http://example.com/a//b/"), i, F.lit("///  ")))
+        .when(m == 6, F.concat(F.lit("ftp://Files.Example.com:21/Data/"), i))
+        .otherwise(F.concat(F.lit("not a url "), i))
+    )
+    d = d.withColumn("url", raw)
+    return d.select(
+        "doc_id",
+        "url",
+        canonical_url(F.col("url")).alias("canon_url"),
+        url_dedup_key(F.col("url")).alias("url_key"),
+    )
 
 
 def q_source_dispatch(spark, sf_dir):
@@ -340,9 +414,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_props": q_json_props,
     # dedup suite
     "dedup_exact": lambda s, d: dd.exact_dedup(_docs(s, d)),
-    "ngram_jaccard_pairs": lambda s, d: dd.ngram_jaccard_pairs(_docs(s, d)),
-    "minhash_lsh_candidates": lambda s, d: dd.minhash_lsh_candidates(_docs(s, d)),
-    "near_dup_verified": lambda s, d: dd.near_dup_verified(_docs(s, d)),
+    "ngram_jaccard_pairs": lambda s, d: dd.ngram_jaccard_pairs(
+        _docs(s, d), shingles=_shingles(s, d)
+    ),
+    "minhash_lsh_candidates": lambda s, d: dd.minhash_lsh_candidates(
+        _docs(s, d), shingles=_shingles(s, d)
+    ),
+    "near_dup_verified": lambda s, d: dd.near_dup_verified(
+        _docs(s, d), shingles=_shingles(s, d)
+    ),
     "simhash": lambda s, d: dd.simhash(_docs(s, d)),
     # similarity search
     "knn_bruteforce": lambda s, d: sim.cosine_topk_bruteforce(
@@ -357,6 +437,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_text_pairs": q_audio_text_pairs,
     "forced_alignment": q_forced_alignment,
     "scrape_extract": q_scrape_extract,
+    "url_canonical": q_url_canonical,
 }
 
 
@@ -849,6 +930,54 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        COUNT(*) AS n_events,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts)
+"""
+
+ORACLES["url_canonical"] = """
+WITH u0 AS (
+  SELECT doc_id,
+    CASE doc_id % 8
+      WHEN 0 THEN 'HTTP://Example.COM:80/Docs/' || CAST(doc_id AS VARCHAR) || '/'
+      WHEN 1 THEN 'https://EXAMPLE.com:443/Docs/' || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN 'https://example.com/Docs/' || CAST(doc_id AS VARCHAR) || '#section-2'
+      WHEN 3 THEN 'http://example.com:8080/Docs/' || CAST(doc_id AS VARCHAR) || '?q=A&b=2'
+      WHEN 4 THEN 'HTTPS://Sub.Example.COM'
+      WHEN 5 THEN '  http://example.com/a//b/' || CAST(doc_id AS VARCHAR) || '///  '
+      WHEN 6 THEN 'ftp://Files.Example.com:21/Data/' || CAST(doc_id AS VARCHAR)
+      ELSE 'not a url ' || CAST(doc_id AS VARCHAR)
+    END AS url
+  FROM documents
+),
+s1 AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*$', '') AS u FROM u0),
+p AS (
+  SELECT doc_id, url, u,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest
+  FROM s1
+),
+q AS (
+  SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+    regexp_extract(rest, '^[^/?]*([^?]*)', 1) AS path,
+    regexp_extract(rest, '(\\?.*)$', 1) AS query
+  FROM p
+),
+r AS (
+  SELECT *, lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+    regexp_extract(hostport, ':(\\d+)$', 1) AS port,
+    regexp_replace(path, '/+$', '') AS stripped
+  FROM q
+),
+c AS (
+  SELECT doc_id, url,
+    CASE WHEN scheme = '' THEN trim(url)
+      ELSE scheme || '://' ||
+        CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                  OR (scheme = 'https' AND port = '443')
+             THEN host ELSE host || ':' || port END ||
+        CASE WHEN stripped = '' THEN '/' ELSE stripped END || query
+    END AS canon_url
+  FROM r
+)
+SELECT doc_id, url, canon_url, md5(canon_url) AS url_key FROM c
 """
 
 # salted variant shares its oracle with the unsalted collapse

@@ -82,6 +82,11 @@ class Snapshot:
     # 'maintenance' = pure rewrite (compaction / rebucket) — no new
     # logical content, excluded from incremental consumption
     commit_type: str = "data"
+    # set on snapshots STAGED by a multi-table transaction (lake/txn.py):
+    # absolute path of the transaction record. A staged snapshot is not a
+    # durable commit by itself — recover() adopts it only once the record
+    # says 'committed' (both-or-neither visibility across tables).
+    pending_txn: str | None = None
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(self.schema_json)
@@ -97,6 +102,11 @@ class Snapshot:
                 "summary": self.summary,
                 "lineage_files": self.lineage_files,
                 "commit_type": self.commit_type,
+                **(
+                    {"pending_txn": self.pending_txn}
+                    if self.pending_txn is not None
+                    else {}
+                ),
             },
             indent=1,
         )
@@ -113,6 +123,7 @@ class Snapshot:
             summary=d.get("summary", {}),
             lineage_files=d.get("lineage_files", []),
             commit_type=d.get("commit_type", "data"),
+            pending_txn=d.get("pending_txn"),
         )
 
 
@@ -258,6 +269,24 @@ class LakeTable:
             return None
         if snap.version != version or snap.parent != version - 1:
             return None
+        if snap.pending_txn is not None:
+            # staged by a multi-table transaction: durable ONLY if the
+            # transaction record decided 'committed' and names this
+            # (table, version). An undecided/aborted/missing record means
+            # the stage is not a commit — never adopt it (the
+            # stale-manifest reclaim in commit() garbage-collects it).
+            try:
+                with open(snap.pending_txn) as fh:
+                    rec = json.load(fh)
+            except (OSError, ValueError):
+                return None
+            if rec.get("status") != "committed":
+                return None
+            if not any(
+                p.get("table") == self.path and p.get("version") == version
+                for p in rec.get("participants", [])
+            ):
+                return None
         return snap
 
     def recover(self) -> int | None:
@@ -619,7 +648,12 @@ class LakeTable:
         lineage_rel_path: str | None = None,
         parent: Snapshot | None = None,
         commit_type: str = "data",
+        pending_txn: str | None = None,
     ) -> Snapshot:
+        """``pending_txn`` stages the snapshot for a multi-table
+        transaction (lake/txn.py): the manifest is written exclusively but
+        the pointer does NOT move — visibility comes when the transaction
+        record commits and recover()/the coordinator rolls the pointer."""
         base = parent if parent is not None else self.current()
         applied = dict(base.applied)
         applied.update(applied_update)
@@ -642,9 +676,11 @@ class LakeTable:
             summary=summary,
             lineage_files=lineage_files,
             commit_type=commit_type,
+            pending_txn=pending_txn,
         )
+        update_pointer = pending_txn is None
         try:
-            self._write_snapshot(snap, exclusive=True)
+            self._write_snapshot(snap, exclusive=True, update_pointer=update_pointer)
         except CommitConflictError:
             if self._valid_orphan_snapshot(version) is not None:
                 # a durable vN exists (concurrent winner, or a crashed
@@ -668,7 +704,7 @@ class LakeTable:
             if not stale:
                 raise
             os.remove(p)
-            self._write_snapshot(snap, exclusive=True)
+            self._write_snapshot(snap, exclusive=True, update_pointer=update_pointer)
         return snap
 
     # -------------------------------------------------------------- cleanup

@@ -82,9 +82,19 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def doc_shingles(docs: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, shingle) rows — the shared input of every shingle-based
+    dedup operator. At scale, materialize this ONCE (parquet) and pass it
+    to ``ngram_jaccard_pairs`` / ``minhash_lsh_candidates`` /
+    ``near_dup_verified`` via their ``shingles=`` parameter: tokenization
+    + shingle explode is the dominant projection cost and must not be
+    paid per-operator."""
     return _spread(docs).select(
         "doc_id", F.explode(shingles_col(F.col(text_col), k)).alias("shingle")
     )
+
+
+def _sh_or(shingles, docs, text_col, k):
+    return shingles if shingles is not None else doc_shingles(docs, text_col, k)
 
 
 def ngram_jaccard_pairs(
@@ -95,6 +105,7 @@ def ngram_jaccard_pairs(
     jaccard_num: int = 1,
     jaccard_den: int = 5,
     max_docs_per_shingle: int = MAX_DOCS_PER_SHINGLE,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """All doc pairs with shingle-Jaccard ≥ jaccard_num/jaccard_den,
     via shingle-bucket self-join (no cross product). The threshold test is
@@ -108,7 +119,7 @@ def ngram_jaccard_pairs(
     Jaccard is then computed over the informative (non-stop) shingle sets
     — the standard stop-word analogue. The oracle applies the identical
     cap, so results stay value-verified."""
-    sh = doc_shingles(docs, text_col, k)
+    sh = _sh_or(shingles, docs, text_col, k)
     if max_docs_per_shingle is not None:
         # window count, not groupBy+join: one shuffle on `shingle` — the
         # same distribution the self-join needs — and no second branch
@@ -144,7 +155,11 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures_wide(
-    docs: DataFrame, text_col: str = "text", n_perm: int = 12, k: int = SHINGLE_K
+    docs: DataFrame,
+    text_col: str = "text",
+    n_perm: int = 12,
+    k: int = SHINGLE_K,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash: permutation i's hash of a shingle is md5(i || '|' || shingle)
     (a hex string — min is lexicographic, identical in any engine);
@@ -153,7 +168,7 @@ def minhash_signatures_wide(
     Computed as ONE hash aggregate with ``n_perm`` ``min`` expressions over
     the shingle rows (map-side combined) — not an ``n_perm×`` row
     explosion. Output: one row per doc with columns mh0..mh{n_perm-1}."""
-    sh = doc_shingles(docs, text_col, k)
+    sh = _sh_or(shingles, docs, text_col, k)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(n_perm)
@@ -188,6 +203,7 @@ def minhash_lsh_candidates(
     band_size: int = 2,
     k: int = SHINGLE_K,
     max_docs_per_band_key: int = MAX_DOCS_PER_BAND_KEY,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: group the n_perm signature into bands of ``band_size``;
     band key = concatenated (sorted) minhashes; docs sharing any band key
@@ -205,7 +221,7 @@ def minhash_lsh_candidates(
     O(bucket²); true near-dup pairs lost to a hot band are still found
     through their other ``n_perm/band_size - 1`` bands — exactly why
     multi-band LSH tolerates stop-bands. Mirrored in the oracle."""
-    wide = minhash_signatures_wide(docs, text_col, n_perm, k)
+    wide = minhash_signatures_wide(docs, text_col, n_perm, k, shingles=shingles)
     n_bands = n_perm // band_size
     band_arr = F.array(
         *[
@@ -253,13 +269,22 @@ def near_dup_verified(
     k: int = SHINGLE_K,
     jaccard_num: int = 1,
     jaccard_den: int = 5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """The scale path for near-dup detection: LSH candidate generation
     (cheap, linear) followed by exact shingle-Jaccard verification of ONLY
     the candidate pairs — never the all-pairs shingle self-join. Returns
-    verified pairs with integer evidence columns."""
-    cands = minhash_lsh_candidates(docs, text_col, n_perm, band_size, k)
-    sh = doc_shingles(docs, text_col, k)
+    verified pairs with integer evidence columns.
+
+    ONE shingle frame feeds both halves: candidates (via the minhash
+    aggregate) and verification share ``shingles`` (pass a materialized
+    parquet frame at scale; without one, the same lineage is reused and a
+    production job should persist it — tokenize+shingle is otherwise paid
+    twice)."""
+    sh = _sh_or(shingles, docs, text_col, k)
+    cands = minhash_lsh_candidates(
+        docs, text_col, n_perm, band_size, k, shingles=sh
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -187,6 +187,39 @@ def resize_meta(df: DataFrame, max_side: int = 256) -> DataFrame:
     )
 
 
+def subprocess_decoder(
+    cmd: list[str], dtype=np.float32, timeout: float = 60.0
+) -> Callable[[bytes], np.ndarray]:
+    """A REAL external-binary decode kernel: pipe the payload to ``cmd``
+    on stdin, read the decoded signal from stdout as little-endian
+    ``dtype`` — the production shape for codec binaries, e.g.::
+
+        subprocess_decoder(["ffmpeg", "-i", "pipe:0", "-f", "f32le",
+                            "-ac", "1", "-ar", "16000", "pipe:1"])
+        subprocess_decoder(["pdftotext", "-", "-"], dtype=np.uint8)
+
+    Runs inside the Arrow batch of ``decode_with`` on executors; a
+    non-zero exit raises with the binary's stderr so the failure is
+    attributable. (Non-fake-kernel path test-covered via a stand-in
+    binary in tests/test_multimodal.py.)"""
+    import subprocess
+
+    def decode(payload: bytes) -> np.ndarray:
+        if payload is None or len(payload) == 0:
+            return np.zeros(0, dtype=dtype)
+        proc = subprocess.run(
+            cmd, input=bytes(payload), capture_output=True, timeout=timeout
+        )
+        if proc.returncode != 0:
+            raise ValueError(
+                f"decoder {cmd[0]} exited {proc.returncode}: "
+                f"{proc.stderr[:500].decode(errors='replace')}"
+            )
+        return np.frombuffer(proc.stdout, dtype=dtype)
+
+    return decode
+
+
 def real_decoder_or_raise(modality: str) -> Callable[[bytes], np.ndarray]:
     """Hook for real codecs, gated on optional imports (absent in this
     container): raises NotImplementedError with the dependency name."""

@@ -123,3 +123,88 @@ def html_to_text(html: Column) -> Column:
 def scrape_text(html: Column) -> Column:
     """Full extract pipeline: main-content preference → text."""
     return html_to_text(html_main_content(html))
+
+
+def canonical_url(url: Column) -> Column:
+    """Syntactic URL canonicalization for the web-source dedup key
+    (reference ``scripts/orchestrator.py:26-31`` resolves redirects so
+    ``http://X`` and ``https://x/`` dedup together; this is the
+    no-network half of that identity, pure JVM column expressions):
+
+    1. trim, drop the ``#fragment``;
+    2. lowercase scheme and host (path/query case preserved);
+    3. strip the scheme's default port (``http:80``, ``https:443``);
+    4. empty path → ``/``; any other trailing ``/``-run stripped
+       (``/a/`` ≡ ``/a``, but ``host`` alone ≡ ``host/``).
+
+    Strings without a ``scheme://`` are returned trimmed-as-is. The
+    network half (redirect following) is the ``resolve_redirects``
+    kernel stage. All patterns RE2-safe and oracle-mirrored
+    (query ``url_canonical``)."""
+    u = F.regexp_replace(F.trim(url), r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    authority = F.when(
+        (port == "") | default_port, host
+    ).otherwise(F.concat(host, F.lit(":"), port))
+    path = F.regexp_extract(rest, r"^[^/?]*([^?]*)", 1)
+    query = F.regexp_extract(rest, r"(\?.*)$", 1)
+    stripped = F.regexp_replace(path, r"/+$", "")
+    norm_path = F.when(stripped == "", F.lit("/")).otherwise(stripped)
+    canon = F.concat(scheme, F.lit("://"), authority, norm_path, query)
+    return F.when(scheme == "", F.trim(url)).otherwise(canon)
+
+
+def url_dedup_key(url: Column) -> Column:
+    """The web-source dedup identity: md5 of the canonical URL — pairs
+    with the content fingerprint (A1) so two spellings of one page
+    dedup together even before fetching."""
+    return F.md5(canonical_url(url))
+
+
+def resolve_redirects(
+    urls: DataFrame,
+    kernel: Callable[[str], str] | None = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """The network half of URL identity (the reference's HTTP-HEAD
+    ``allow_redirects=True`` probe): an Arrow-batched ``url →
+    final_url`` kernel stage, same shape as ``fetch_pages``. The default
+    kernel is the identity (no network in this container); a real
+    deployment passes ``lambda u: requests.head(u,
+    allow_redirects=True, timeout=10).url``. Failures land per-row in
+    ``resolve_error``; the input URL is kept so the pipeline can fall
+    back to the syntactic canonical form."""
+    import pandas as pd
+
+    sel = urls.select(F.col(url_col).alias("url"))
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("final_url", T.StringType(), True),
+            T.StructField("resolve_error", T.StringType(), True),
+        ]
+    )
+    k = kernel if kernel is not None else (lambda u: u)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs, errs = [], []
+            for u in pdf["url"]:
+                try:
+                    outs.append(k(u))
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — kernel is untrusted I/O
+                    outs.append(u)
+                    errs.append(str(e)[:500])
+            yield pd.DataFrame(
+                {"url": pdf["url"], "final_url": outs, "resolve_error": errs}
+            )
+
+    return sel.mapInPandas(run, schema=schema)

@@ -199,19 +199,37 @@ def pairwise_label_centroids(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Per-label centroid norms (IVF building block): mean vector per label
-    via element-wise array aggregation, reported as rounded L2 norm +
-    count. Shows the posexplode→agg→collect pattern that scales to IVF
-    coarse quantizers."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "label", F.posexplode(_as_double(F.col("embedding"))).alias("dim", "x")
+    as ONE ``groupBy(label)`` with per-dimension JVM sums — no explode.
+
+    Round-2 shape exploded every embedding (``posexplode`` → docs×dims
+    shuffle rows: 10¹² at 10⁹ docs × 1024 dims). This shape keeps each
+    vector inside its row: the aggregate is map-side-combinable, so only
+    one partial row **per label per partition** (dim sum columns + count)
+    crosses the wire — shuffle rows ∝ labels × partitions, independent of
+    corpus size. ``mean_d = sum_d/n`` is bit-identical to ``avg`` (both
+    engines compute avg as sum/count), so the DuckDB oracle is unchanged.
+    (``Summarizer.mean`` over ml vectors is the same shape but uses a
+    running-mean update that differs in the last ulp from sum/n.)
+    """
+    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = infer_dim(raw)
+    emb = raw.select(
+        "label", _checked_vec(_as_double(F.col("embedding")), dim).alias("v")
     )
-    cent = emb.groupBy("label", "dim").agg(
-        F.avg("x").alias("mean_x"), F.count("*").alias("n")
+    agg = emb.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        *[
+            F.sum(F.element_at("v", d + 1)).alias(f"__s{d}")
+            for d in range(dim)
+        ],
     )
-    return (
-        cent.groupBy("label")
-        .agg(
-            F.round(F.sqrt(F.sum(F.col("mean_x") * F.col("mean_x"))), 6).alias("centroid_norm"),
-            F.max("n").alias("n_vectors"),
-        )
+    n = F.col("n_vectors")
+    sq = None
+    for d in range(dim):
+        m = F.col(f"__s{d}") / n
+        sq = m * m if sq is None else sq + m * m
+    return agg.select(
+        "label",
+        F.round(F.sqrt(sq), 6).alias("centroid_norm"),
+        "n_vectors",
     )

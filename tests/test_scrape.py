@@ -73,3 +73,61 @@ def test_extract_is_jvm_only(spark):
     plan = df.select(html_to_text(html_main_content(F.col("html"))).alias("t"))
     s = plan._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_canonical_url_rules(spark):
+    """Round-3 (VERDICT item 5): syntactic URL canonicalization — the
+    no-network half of the reference's redirect-resolved dedup identity."""
+    from runyoro_llm_data_pipeline_spark.operators.scrape import canonical_url
+
+    cases = [
+        ("HTTP://Example.COM:80/Docs/7/", "http://example.com/Docs/7"),
+        ("https://EXAMPLE.com:443/a", "https://example.com/a"),
+        ("https://example.com/a#frag", "https://example.com/a"),
+        ("http://example.com:8080/a?q=A&b=2", "http://example.com:8080/a?q=A&b=2"),
+        ("HTTPS://Sub.Example.COM", "https://sub.example.com/"),
+        ("  http://example.com/a//b///  ", "http://example.com/a//b"),
+        ("ftp://Files.Example.com:21/Data/1", "ftp://files.example.com:21/Data/1"),
+        ("not a url 3 ", "not a url 3"),
+        ("http://x/", "http://x/"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i int, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_canonical_url_is_jvm_only(spark):
+    from runyoro_llm_data_pipeline_spark.operators.scrape import canonical_url
+
+    df = spark.range(10).select(
+        F.concat(F.lit("http://Example.com:80/p/"), F.col("id")).alias("url")
+    )
+    plan = df.select(canonical_url(F.col("url")).alias("c"))
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_resolve_redirects_kernel_and_errors(spark):
+    """Redirect-resolve stage: kernel applied per row, failures captured
+    per-row (input URL kept) — task never dies on a bad URL."""
+    from runyoro_llm_data_pipeline_spark.operators.scrape import resolve_redirects
+
+    def kernel(u):
+        if "boom" in u:
+            raise RuntimeError("connection refused")
+        return u.replace("http://", "https://www.")
+
+    df = spark.createDataFrame(
+        [("http://a.com/x",), ("http://boom.com/y",)], ["url"]
+    )
+    rows = {r["url"]: r for r in resolve_redirects(df, kernel=kernel).collect()}
+    assert rows["http://a.com/x"]["final_url"] == "https://www.a.com/x"
+    assert rows["http://a.com/x"]["resolve_error"] is None
+    assert rows["http://boom.com/y"]["final_url"] == "http://boom.com/y"
+    assert "connection refused" in rows["http://boom.com/y"]["resolve_error"]
