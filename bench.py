@@ -49,6 +49,7 @@ HEADLINE = [
     "audio_text_pairs",
     "forced_alignment",
     "scrape_extract",
+    "url_canonical",
 ]
 
 
