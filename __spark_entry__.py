@@ -429,6 +429,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _emb(s, d), query_vec_id=0, k=10
     ),
     "knn_lsh": q_knn_lsh,  # deterministic hyperplanes — fully oracled
+    "embedding_near_dup": lambda s, d: sim.embedding_near_dup_pairs(_emb(s, d)),
     "label_centroids": sim.pairwise_label_centroids,
     # streaming-shaped windowed aggregate (batch parity form)
     "event_rate_1h": q_event_rate,
@@ -873,6 +874,56 @@ WHERE a.ext IN ('.wav', '.mp3', '.m4a', '.flac', '.ogg')
 """
 
 ORACLES["knn_lsh"] = _knn_lsh_sql()
+
+
+def _embedding_near_dup_sql(
+    n_planes: int = 6, n_tables: int = 12, dim: int = 64,
+    threshold: float = 0.4, cap: int = 512,
+) -> str:
+    """DuckDB mirror of embedding_near_dup_pairs: same deterministic
+    md5-parity hyperplanes inlined as literals, same stop-bucket cap,
+    same round-then-threshold order."""
+    from runyoro_llm_data_pipeline_spark.operators.similarity import _hyperplane
+
+    def sig_expr(t: int) -> str:
+        bits = []
+        for p in range(n_planes):
+            consts = ",".join(
+                "1.0" if c > 0 else "-1.0" for c in _hyperplane(p, dim, t)
+            )
+            bits.append(
+                f"CASE WHEN list_dot_product(v, [{consts}]) >= 0"
+                " THEN '1' ELSE '0' END"
+            )
+        return " || ".join(bits)
+
+    sig_cols = ",\n  ".join(f"({sig_expr(t)}) AS sig{t}" for t in range(n_tables))
+    unpivot = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, sig{t} AS sig FROM s0"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s0 AS (SELECT vec_id, v,
+  {sig_cols}
+  FROM e),
+s AS ({unpivot}),
+capd AS (SELECT *, COUNT(*) OVER (PARTITION BY tbl, sig) AS __n FROM s),
+f AS (SELECT vec_id, tbl, sig FROM capd WHERE __n <= {cap}),
+p AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM f a JOIN f b ON a.tbl = b.tbl AND a.sig = b.sig
+      WHERE a.vec_id < b.vec_id),
+sc AS (SELECT p.vec_a, p.vec_b,
+         round(list_dot_product(ea.v, eb.v) /
+               (sqrt(list_dot_product(ea.v, ea.v)) *
+                sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+       FROM p JOIN e ea ON ea.vec_id = p.vec_a
+              JOIN e eb ON eb.vec_id = p.vec_b)
+SELECT vec_a, vec_b, cosine FROM sc WHERE cosine >= {threshold}
+"""
+
+
+ORACLES["embedding_near_dup"] = _embedding_near_dup_sql()
 
 ORACLES["scrape_extract"] = """
 WITH h AS (

@@ -43,6 +43,7 @@ HEADLINE = [
     "simhash",
     "knn_bruteforce",
     "knn_lsh",
+    "embedding_near_dup",
     "label_centroids",
     "fingerprint",
     "doc_stats",

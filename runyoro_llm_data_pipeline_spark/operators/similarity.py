@@ -195,6 +195,72 @@ def cosine_topk_lsh(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    n_tables: int = 12,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    index: DataFrame | None = None,
+    max_ids_per_bucket: int = 512,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector-space member of
+    the dedup family (exact / n-gram / MinHash / SimHash are the text
+    members): candidate pairs share an LSH bucket in ≥1 of ``n_tables``
+    hash tables, then ONLY candidates get exact cosine verification and
+    the ``cosine ≥ threshold`` filter (rounded to 6 dp first, so the
+    DuckDB oracle's boundary decisions are identical).
+
+    Scale shape mirrors ``minhash_lsh_candidates``: candidate generation
+    is an equi-join on the (tbl, sig) bucket key — never doc×doc — with
+    a stop-bucket cap (``max_ids_per_bucket``, window count over the
+    join key's own shuffle) bounding degenerate buckets at
+    O(cap × rows). ``n_planes`` sets bucket granularity: size ≈
+    |corpus| / 2^n_planes per table, so production scales planes ≈
+    log2(corpus / target_bucket). Pass a 6-plane ``build_lsh_index``
+    frame via ``index`` to serve repeated runs off one materialized
+    pass."""
+    from pyspark.sql import Window
+
+    emb = embeddings.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
+    idx = (
+        index
+        if index is not None
+        else build_lsh_index(embeddings, n_planes, n_tables, dim, vec_col)
+    )
+    if max_ids_per_bucket is not None:
+        idx = (
+            idx.withColumn(
+                "__n", F.count("*").over(Window.partitionBy("tbl", "sig"))
+            )
+            .filter(F.col("__n") <= max_ids_per_bucket)
+            .drop("__n")
+        )
+    a = idx.alias("a")
+    b = idx.alias("b")
+    pairs = (
+        a.join(b, on=["tbl", "sig"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("x"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("y"))
+    cos = F.round(
+        _dot(F.col("x"), F.col("y")) / (_norm(F.col("x")) * _norm(F.col("y"))),
+        6,
+    )
+    return (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def pairwise_label_centroids(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -98,3 +98,26 @@ def test_rebucket_preserves_state(spark, tmp_lake, tmp_path_factory):
     assert t2.read_conversation(spark, conv).count() == sum(
         1 for r in before if r[0] == conv
     )
+
+
+def test_embedding_near_dup_shape_and_canonical(spark):
+    """Embedding-cosine near-dup (round 3): canonical vec_a < vec_b pairs,
+    every returned cosine >= threshold, deterministic across runs, and the
+    plan contains no cartesian product — candidates come from the
+    (tbl, sig) bucket equi-join."""
+    from runyoro_llm_data_pipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = embedding_near_dup_pairs(emb, threshold=0.3)
+    rows = got.collect()
+    assert rows, "expected some near-dup pairs at threshold 0.3"
+    for r in rows:
+        assert r["vec_a"] < r["vec_b"]
+        assert r["cosine"] >= 0.3
+    again = {(r["vec_a"], r["vec_b"], r["cosine"])
+             for r in embedding_near_dup_pairs(emb, threshold=0.3).collect()}
+    assert {(r["vec_a"], r["vec_b"], r["cosine"]) for r in rows} == again
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
