@@ -313,7 +313,8 @@ def apply_batch(
     'maxby' = JVM aggregate + bucket repartition. ``normalize_impl``:
     'jvm' fast path or 'pandas' CPython-bit-exact path."""
     snap = table.current()
-    if str(batch_id) in snap.applied:
+    floor = int(snap.summary.get("applied_floor", -1))
+    if str(batch_id) in snap.applied or batch_id <= floor:
         return {"status": "skipped", "batch_id": batch_id, "version": snap.version}
 
     if quarantine_dir:

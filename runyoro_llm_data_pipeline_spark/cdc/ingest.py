@@ -80,8 +80,15 @@ class CdcIngest:
         return sorted(out)
 
     def pending(self) -> list[tuple[int, str]]:
-        applied = set(self.table().current().applied.keys())
-        return [(b, p) for b, p in self.discover() if str(b) not in applied]
+        t = self.table()
+        snap = t.current()
+        applied = set(snap.applied.keys())
+        floor = int(snap.summary.get("applied_floor", -1))
+        return [
+            (b, p)
+            for b, p in self.discover()
+            if str(b) not in applied and b > floor
+        ]
 
     @staticmethod
     def _tune_split_size(spark: SparkSession, batch_path: str) -> None:

@@ -649,13 +649,20 @@ class LakeTable:
         parent: Snapshot | None = None,
         commit_type: str = "data",
         pending_txn: str | None = None,
+        applied_replace: dict[str, list[int]] | None = None,
     ) -> Snapshot:
         """``pending_txn`` stages the snapshot for a multi-table
         transaction (lake/txn.py): the manifest is written exclusively but
         the pointer does NOT move — visibility comes when the transaction
-        record commits and recover()/the coordinator rolls the pointer."""
+        record commits and recover()/the coordinator rolls the pointer.
+        ``applied_replace`` swaps the applied-batch ledger wholesale
+        (ledger truncation) instead of merging ``applied_update``."""
         base = parent if parent is not None else self.current()
-        applied = dict(base.applied)
+        applied = (
+            dict(applied_replace)
+            if applied_replace is not None
+            else dict(base.applied)
+        )
         applied.update(applied_update)
         summary = dict(base.summary)
         summary.update(summary_update or {})
@@ -706,6 +713,50 @@ class LakeTable:
             os.remove(p)
             self._write_snapshot(snap, exclusive=True, update_pointer=update_pointer)
         return snap
+
+    def applied_floor(self) -> int:
+        """The committed low watermark of the batch stream: every
+        ``batch_id <= floor`` is known-applied even if its ledger entry
+        was truncated (Kafka committed-offset semantics)."""
+        return int(self.current().summary.get("applied_floor", -1))
+
+    def truncate_applied(self, keep_last: int = 64) -> int:
+        """Bound the applied-batch ledger so the manifest stays
+        O(keep_last) no matter how many batches have ever been ingested
+        (the soak shows ~300 B/batch growth otherwise — harmless at 10³
+        batches, not at 10⁵+). Entries contiguous with the current floor
+        are folded INTO the floor; the last ``keep_last`` entries are
+        always kept verbatim (so recent replays still short-circuit on
+        their exact lsn range). Assumes the standard CDC contract of a
+        monotone batch-id stream: a batch numbered at-or-below the floor
+        is by definition consumed. Maintenance commit; returns entries
+        dropped."""
+        snap = self.current()
+        ids = sorted(int(k) for k in snap.applied)
+        if len(ids) <= keep_last:
+            return 0
+        prev_floor = int(snap.summary.get("applied_floor", -1))
+        idset = set(ids)
+        c = prev_floor
+        while c + 1 in idset:
+            c += 1
+        floor = min(c, ids[-keep_last] - 1) if keep_last > 0 else c
+        if floor <= prev_floor:
+            return 0
+        new_applied = {
+            k: v for k, v in snap.applied.items() if int(k) > floor
+        }
+        self.commit(
+            new_files=[],
+            carried_files=list(snap.files),
+            schema=snap.schema(),
+            applied_update={},
+            applied_replace=new_applied,
+            summary_update={"applied_floor": floor},
+            parent=snap,
+            commit_type="maintenance",
+        )
+        return len(snap.applied) - len(new_applied)
 
     # -------------------------------------------------------------- cleanup
     def cleanup_orphans(self, min_age_seconds: float = 3600) -> int:

@@ -132,3 +132,45 @@ def test_entity_unescape_order_matches_html_unescape(spark):
             html.unescape(c).replace("\xa0", " ").split()
         ).strip()
         assert g == want, (c, g, want)
+
+
+def test_applied_ledger_truncation(spark, tmp_lake, tmp_path_factory):
+    """Ledger truncation (soak follow-up): the applied-batch map stays
+    O(keep_last) while idempotence is preserved through the floor — a
+    truncated batch replay is still skipped, resume of NEW batches still
+    works, and incremental ingest is unaffected."""
+    from runyoro_llm_data_pipeline_spark.cdc.generator import write_batch_files
+    from runyoro_llm_data_pipeline_spark.cdc.ingest import CdcIngest
+
+    d = str(tmp_path_factory.mktemp("trunc"))
+    events, _ = gen_change_log(spark, n_turns=300, n_convs=10, n_batches=6)
+    write_batch_files(events, d)
+    ing = CdcIngest(os.path.join(tmp_lake, "t"), d, num_buckets=4)
+    res = ing.run(spark)
+    assert len(res) == 6
+    t = ing.table()
+    rows = t.read(spark).count()
+
+    dropped = t.truncate_applied(keep_last=2)
+    assert dropped == 4
+    snap = t.current()
+    assert sorted(snap.applied) == ["4", "5"]
+    assert snap.summary["applied_floor"] == 3
+    assert t.applied_floor() == 3
+
+    # idempotence THROUGH the floor: all 6 batch dirs still on disk,
+    # nothing is pending and a forced re-apply of a truncated batch skips
+    assert ing.pending() == []
+    ev0 = spark.read.parquet(os.path.join(d, "batch_00000"))
+    r = apply_batch(spark, t, ev0, batch_id=0)
+    assert r["status"] == "skipped"
+    assert t.read(spark).count() == rows
+
+    # a genuinely NEW batch still applies
+    ev_new = ev0.withColumn("lsn", F.col("lsn") + 10_000_000).withColumn(
+        "event_ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("lsn"))
+    )
+    r = apply_batch(spark, t, ev_new, batch_id=6)
+    assert r["status"] == "applied"
+    # truncation again with nothing new to fold is a no-op
+    assert t.truncate_applied(keep_last=3) == 0
