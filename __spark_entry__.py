@@ -430,6 +430,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "knn_lsh": q_knn_lsh,  # deterministic hyperplanes — fully oracled
     "embedding_near_dup": lambda s, d: sim.embedding_near_dup_pairs(_emb(s, d)),
+    "knn_ivf": lambda s, d: sim.cosine_topk_ivf(_emb(s, d), query_vec_id=0, k=10),
     "label_centroids": sim.pairwise_label_centroids,
     # streaming-shaped windowed aggregate (batch parity form)
     "event_rate_1h": q_event_rate,
@@ -924,6 +925,48 @@ SELECT vec_a, vec_b, cosine FROM sc WHERE cosine >= {threshold}
 
 
 ORACLES["embedding_near_dup"] = _embedding_near_dup_sql()
+
+
+def _knn_ivf_sql(
+    dim: int = 64, k: int = 10, nprobe: int = 3, qid: int = 0
+) -> str:
+    """DuckDB mirror of the IVF path: identical per-label mean codebook
+    (avg per dimension), identical nearest-centroid assignment with
+    (cosine DESC, cluster ASC) tie order, identical nprobe probe set and
+    candidate-only rescoring."""
+    avgs = ", ".join(f"avg(v[{d + 1}])" for d in range(dim))
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT label AS cluster, [{avgs}] AS cv FROM e GROUP BY label),
+a AS (SELECT e.vec_id, c.cluster,
+        list_dot_product(e.v, c.cv) /
+          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cs
+      FROM e, c),
+asg AS (SELECT vec_id, cluster FROM
+          (SELECT vec_id, cluster,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, cluster ASC) AS rn
+           FROM a)
+        WHERE rn = 1),
+q AS (SELECT v FROM e WHERE vec_id = {qid}),
+qc AS (SELECT c.cluster FROM c, q
+       ORDER BY list_dot_product(c.cv, q.v) /
+                (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.v, q.v)))
+                DESC, c.cluster
+       LIMIT {nprobe}),
+cand AS (SELECT asg.vec_id FROM asg JOIN qc USING (cluster)
+         WHERE asg.vec_id <> {qid})
+SELECT e.vec_id,
+       round(list_dot_product(e.v, q.v) /
+             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))), 6)
+         AS cosine
+FROM cand JOIN e USING (vec_id), q
+ORDER BY cosine DESC, e.vec_id
+LIMIT {k}
+"""
+
+
+ORACLES["knn_ivf"] = _knn_ivf_sql()
 
 ORACLES["scrape_extract"] = """
 WITH h AS (

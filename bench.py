@@ -44,6 +44,7 @@ HEADLINE = [
     "knn_bruteforce",
     "knn_lsh",
     "embedding_near_dup",
+    "knn_ivf",
     "label_centroids",
     "fingerprint",
     "doc_stats",

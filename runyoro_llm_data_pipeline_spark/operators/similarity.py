@@ -195,6 +195,130 @@ def cosine_topk_lsh(
     )
 
 
+def centroids_by_label(
+    embeddings: DataFrame, dim: int | None = None, vec_col: str = "embedding"
+) -> DataFrame:
+    """(cluster, c: array<double>) coarse-quantizer codebook: per-label
+    mean vectors via the explode-free per-dimension aggregate (shuffle ∝
+    labels). Labels stand in for a trained k-means codebook here —
+    deterministic and oracle-able; a real trainer plugs in by passing its
+    own (cluster, c) frame to the IVF functions."""
+    if dim is None:
+        dim = infer_dim(embeddings, vec_col)
+    emb = embeddings.select(
+        F.col("label").alias("cluster"),
+        _checked_vec(_as_double(F.col(vec_col)), dim).alias("v"),
+    )
+    agg = emb.groupBy("cluster").agg(
+        *[F.avg(F.element_at("v", d + 1)).alias(f"__c{d}") for d in range(dim)]
+    )
+    return agg.select(
+        "cluster",
+        F.array(*[F.col(f"__c{d}") for d in range(dim)]).alias("c"),
+    )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF inverted-list assignment: each vector → its nearest centroid
+    by cosine. The K-row codebook broadcasts; the docs×K comparison rows
+    exist only inside the map stage (the broadcast join preserves the
+    scan's partitioning, so the per-vector ``max_by`` fully collapses
+    map-side) — **shuffle rows ∝ docs, never docs×K**. Ties break to the
+    smallest cluster id (max over (cosine, −cluster)), mirrored in the
+    oracle's ``ORDER BY cs DESC, cluster ASC``. Materialize the result
+    (parquet, partitioned by cluster) as the serving index."""
+    cents = (
+        centroids
+        if centroids is not None
+        else centroids_by_label(embeddings, dim, vec_col)
+    )
+    if dim is None:
+        dim = infer_dim(embeddings, vec_col)
+    emb = embeddings.select(
+        "vec_id", _checked_vec(_as_double(F.col(vec_col)), dim).alias("v")
+    )
+    j = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cluster",
+        (
+            _dot(F.col("v"), F.col("c"))
+            / (_norm(F.col("v")) * _norm(F.col("c")))
+        ).alias("cs"),
+    )
+    ordv = F.struct(F.col("cs"), (-F.col("cluster")).alias("neg"))
+    return j.groupBy("vec_id").agg(
+        F.max_by(F.col("cluster"), ordv).alias("cluster")
+    )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = 3,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """IVF ANN query: rank centroids by cosine to the query, probe the
+    top ``nprobe`` inverted lists, exact-rescore ONLY their members —
+    the classic coarse-quantize-then-scan ANN alternative to the LSH
+    path (``cosine_topk_lsh``), sharing its output contract
+    (vec_id, cosine rounded 6dp, ties → vec_id). Candidate fraction ≈
+    nprobe/K; pass a materialized ``index`` (from ``build_ivf_index``)
+    to serve repeated queries off one assignment pass."""
+    cents = (
+        centroids
+        if centroids is not None
+        else centroids_by_label(embeddings, dim, vec_col)
+    )
+    idx = (
+        index
+        if index is not None
+        else build_ivf_index(embeddings, dim, vec_col, centroids=cents)
+    )
+    emb = embeddings.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(F.col("v").alias("q"))
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cluster",
+            (
+                _dot(F.col("c"), F.col("q"))
+                / (_norm(F.col("c")) * _norm(F.col("q")))
+            ).alias("cs"),
+        )
+        .orderBy(F.col("cs").desc(), F.col("cluster"))
+        .limit(nprobe)
+        .select("cluster")
+    )
+    cands = (
+        idx.join(F.broadcast(probe), "cluster")
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id")
+    )
+    return (
+        cands.join(emb, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("v"), F.col("q"))
+                / (_norm(F.col("v")) * _norm(F.col("q"))),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,
