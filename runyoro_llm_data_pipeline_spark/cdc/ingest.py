@@ -42,6 +42,7 @@ class CdcIngest:
         collapse_impl: str = "maxby",
         normalize_impl: str = "jvm",
         quarantine_dir: str | None = None,
+        truncate_keep: int | None = 4096,
     ):
         """The default ``mode='mor'`` + ``compact_max_files=k`` is the
         high-throughput configuration every published number uses: batches
@@ -49,7 +50,16 @@ class CdcIngest:
         live files is compacted inline (a data-only snapshot — resumable
         like every other commit). ``compact_max_files=None`` disables
         auto-compaction. ``mode='cow'`` trades write throughput for
-        scan-only reads (read-heavy tables, small batches)."""
+        scan-only reads (read-heavy tables, small batches).
+
+        ``truncate_keep`` bounds the applied-batch ledger: once more than
+        that many entries are committed, a maintenance commit folds the
+        contiguous prefix into the ``applied_floor`` low watermark
+        (``LakeTable.truncate_applied``) — the soak showed ~300 B/batch
+        manifest growth otherwise, which matters at 10⁵+ batches. Runs at
+        most once per ``run()``, after the batch loop, so it costs one
+        manifest write per ingest cycle, not per batch. ``None``
+        disables."""
         self.table_path = table_path
         self.batch_dir = batch_dir
         self.num_buckets = num_buckets
@@ -59,6 +69,7 @@ class CdcIngest:
         self.collapse_impl = collapse_impl
         self.normalize_impl = normalize_impl
         self.quarantine_dir = quarantine_dir
+        self.truncate_keep = truncate_keep
 
     def table(self) -> LakeTable:
         if os.path.exists(os.path.join(self.table_path, "_VERSION")):
@@ -141,4 +152,10 @@ class CdcIngest:
                 hot = table.buckets_needing_compaction(self.compact_max_files)
                 if hot:
                     table.compact(spark, hot)
+        if (
+            results
+            and self.truncate_keep is not None
+            and len(table.current().applied) > self.truncate_keep
+        ):
+            table.truncate_applied(keep_last=self.truncate_keep)
         return results

@@ -337,3 +337,66 @@ def align_audio_text_cogroup(
         .cogroup(lines.groupBy("pair_id"))
         .applyInPandas(kernel, schema=schema)
     )
+
+
+def subprocess_aligner(
+    cmd: list[str], timeout: float = 120.0
+) -> Callable[[pd.DataFrame, pd.DataFrame], pd.DataFrame]:
+    """A REAL external-aligner kernel for :func:`align_audio_text_cogroup`
+    — the process-boundary shape an aeneas-style forced aligner actually
+    has (the reference gates on the native ``aeneas`` import,
+    ``scripts/forced_alignment.py:16-23``; absent dep ⇒ no sync map there,
+    swappable binary here).
+
+    Contract per pair (one cogroup = one audio/transcript pair): the
+    kernel pipes ``{"duration_ms": int, "lines": [{"line_idx": int,
+    "text": str}, ...]}`` as one JSON object to ``cmd`` on stdin and reads
+    a JSON sync map ``[{"line_idx": int, "begin_ms": int, "end_ms": int},
+    ...]`` from stdout — the aeneas CLI's task-then-JSON-syncmap shape.
+    Runs Arrow-batched on executors (one subprocess per pair, amortized
+    across the cogroup partition); a non-zero exit raises with the
+    binary's stderr so the failing pair is attributable. Test-covered
+    with a stand-in binary (tests/test_multimodal.py), equivalence-pinned
+    to the proportional fallback."""
+    import json
+    import subprocess
+
+    def kernel(audio_pdf: pd.DataFrame, text_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"pair_id": [], "line_idx": [], "begin_ms": [], "end_ms": []}
+        ).astype({"pair_id": "int64", "line_idx": "int64",
+                  "begin_ms": "int64", "end_ms": "int64"})
+        if audio_pdf.empty or text_pdf.empty:
+            return empty
+        pair_id = int(audio_pdf["pair_id"].iloc[0])
+        t = text_pdf.sort_values("line_idx")
+        payload = json.dumps(
+            {
+                "duration_ms": int(audio_pdf["duration_ms"].iloc[0]),
+                "lines": [
+                    {"line_idx": int(i), "text": str(s)}
+                    for i, s in zip(t["line_idx"], t["text"])
+                ],
+            }
+        ).encode()
+        proc = subprocess.run(
+            cmd, input=payload, capture_output=True, timeout=timeout
+        )
+        if proc.returncode != 0:
+            raise ValueError(
+                f"aligner {cmd[0]} exited {proc.returncode} on pair "
+                f"{pair_id}: {proc.stderr[:500].decode(errors='replace')}"
+            )
+        frags = json.loads(proc.stdout)
+        if not frags:
+            return empty
+        return pd.DataFrame(
+            {
+                "pair_id": [pair_id] * len(frags),
+                "line_idx": [int(f["line_idx"]) for f in frags],
+                "begin_ms": [int(f["begin_ms"]) for f in frags],
+                "end_ms": [int(f["end_ms"]) for f in frags],
+            }
+        )
+
+    return kernel

@@ -319,6 +319,141 @@ def cosine_topk_ivf(
     )
 
 
+def _argmax_cluster_expr(v, codebook: list[list[float]]):
+    """Nearest-centroid-by-cosine as a pure column expression over a
+    driver-side codebook (k × dim Python floats): cosine to each centroid
+    is a JVM ``zip_with``/``aggregate`` against a literal array, and the
+    argmax is ``F.greatest`` over (cosine, −cluster) structs — ties break
+    to the smallest cluster id, matching :func:`build_ivf_index`'s
+    ``max_by`` ordering. ZERO shuffle: the whole E-step stays inside the
+    scan's map stage (the codebook travels as plan literals, the
+    executor-side analogue of a broadcast)."""
+    import math
+
+    pairs = []
+    for i, cent in enumerate(codebook):
+        c = F.array(*[F.lit(float(x)) for x in cent])
+        cn = math.sqrt(sum(x * x for x in cent)) or 1.0
+        cs = _dot(v, c) / (_norm(v) * F.lit(cn))
+        pairs.append(F.struct(cs.alias("cs"), F.lit(-i).alias("neg")))
+    best = pairs[0] if len(pairs) == 1 else F.greatest(*pairs)
+    return (-best["neg"]).alias("cluster"), best["cs"].alias("best_cs")
+
+
+def train_kmeans_codebook(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iters: int = 10,
+    seed: int = 0,
+    tol: float = 1e-6,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    history: list | None = None,
+) -> DataFrame:
+    """Distributed Lloyd's k-means trainer for the IVF coarse quantizer —
+    replaces the label-derived stand-in codebook (:func:`centroids_by_label`)
+    with a learned one; the result plugs straight into
+    ``build_ivf_index(..., centroids=...)`` / ``cosine_topk_ivf``.
+    (Trains the quantizer the reference has no analogue for; cited scope:
+    the pipeline's similarity family, SURVEY.md §2 ANN rows.)
+
+    Spark shape, chosen for 10⁹-vector corpora:
+
+    * **E-step is shuffle-free**: nearest-centroid assignment is a column
+      expression over the (k × dim ≤ a few thousand doubles) codebook
+      held as plan literals (:func:`_argmax_cluster_expr`) — no join, no
+      ``groupBy``, whole-stage codegen end to end.
+    * **M-step shuffles ∝ k × partitions, not rows**: one
+      ``groupBy(cluster)`` with per-dimension ``F.sum(element_at)`` —
+      the same explode-free partial-aggregate shape as
+      :func:`pairwise_label_centroids` — then the k×(dim+1) partial
+      results collect to the driver, where the new means are computed.
+      Collecting the *codebook* (never the data) each iteration also
+      truncates the lineage so the plan doesn't grow with iterations.
+    * The corpus projection is cached across iterations
+      (``MEMORY_AND_DISK``) and unpersisted on exit.
+    * **Deterministic**: seeds are the k vectors minimizing
+      ``xxhash64(vec_id, seed)`` (a TakeOrdered, not an RNG); empty
+      clusters keep their previous centroid; same input + seed ⇒
+      bit-identical codebook.
+
+    Convergence: stops early when the max L2 centroid shift < ``tol``.
+    Pass ``history=[]`` to receive per-iteration
+    ``{"iter", "shift", "mean_best_cos"}`` diagnostics.
+
+    Returns a (cluster int, c array<double>) DataFrame (the
+    ``centroids_by_label`` contract).
+    """
+    import math
+
+    spark = embeddings.sparkSession
+    if dim is None:
+        dim = infer_dim(embeddings, vec_col)
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    emb = embeddings.select(
+        "vec_id", _checked_vec(_as_double(F.col(vec_col)), dim).alias("v")
+    )
+    from pyspark import StorageLevel
+
+    emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        seed_rows = (
+            emb.orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)), F.col("vec_id"))
+            .limit(k)
+            .select("v")
+            .collect()
+        )
+        if len(seed_rows) < k:
+            raise ValueError(
+                f"k={k} exceeds corpus size {len(seed_rows)}; shrink k"
+            )
+        codebook = [[float(x) for x in r["v"]] for r in seed_rows]
+        for it in range(n_iters):
+            cluster_col, best_cs_col = _argmax_cluster_expr(F.col("v"), codebook)
+            assigned = emb.select("v", cluster_col, best_cs_col)
+            agg = (
+                assigned.groupBy("cluster")
+                .agg(
+                    F.count("*").alias("__n"),
+                    F.sum("best_cs").alias("__cs"),
+                    *[
+                        F.sum(F.element_at("v", d + 1)).alias(f"__s{d}")
+                        for d in range(dim)
+                    ],
+                )
+                .collect()
+            )
+            new_codebook = [list(c) for c in codebook]  # empty clusters keep
+            n_total, cs_total = 0, 0.0
+            for row in agg:
+                i, n = int(row["cluster"]), int(row["__n"])
+                n_total += n
+                cs_total += float(row["__cs"])
+                new_codebook[i] = [float(row[f"__s{d}"]) / n for d in range(dim)]
+            shift = max(
+                math.sqrt(sum((a - b) * (a - b) for a, b in zip(old, new)))
+                for old, new in zip(codebook, new_codebook)
+            )
+            if history is not None:
+                history.append(
+                    {
+                        "iter": it,
+                        "shift": shift,
+                        "mean_best_cos": cs_total / max(n_total, 1),
+                    }
+                )
+            codebook = new_codebook
+            if shift < tol:
+                break
+    finally:
+        emb.unpersist()
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(codebook)],
+        "cluster int, c array<double>",
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,

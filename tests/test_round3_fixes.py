@@ -174,3 +174,52 @@ def test_applied_ledger_truncation(spark, tmp_lake, tmp_path_factory):
     assert r["status"] == "applied"
     # truncation again with nothing new to fold is a no-op
     assert t.truncate_applied(keep_last=3) == 0
+
+
+def test_auto_truncate_knob_and_incremental_across_floor(
+    spark, tmp_lake, tmp_path_factory
+):
+    """``CdcIngest(truncate_keep=k)`` bounds the ledger without any manual
+    maintenance call, and an incremental consumer whose window spans the
+    truncation maintenance commit still receives exactly the late-batch
+    winners — truncation carries the parent's files verbatim, so the
+    path-diff walk attributes nothing to it."""
+    from runyoro_llm_data_pipeline_spark.cdc.generator import write_batch_files
+    from runyoro_llm_data_pipeline_spark.cdc.ingest import CdcIngest
+
+    d = str(tmp_path_factory.mktemp("autotrunc"))
+    events, _ = gen_change_log(spark, n_turns=400, n_convs=12, n_batches=8)
+    write_batch_files(events, d)
+    ing = CdcIngest(
+        os.path.join(tmp_lake, "t"), d, num_buckets=4, truncate_keep=3
+    )
+    first = ing.run(spark, max_batches=5)
+    assert len(first) == 5
+    t = ing.table()
+    # ledger was auto-bounded after the run: floor folded the contiguous
+    # prefix, the last keep entries survive verbatim
+    assert len(t.current().applied) <= 3
+    assert t.applied_floor() >= 0
+    v_mid = t.current_version()
+
+    rest = ing.run(spark)
+    assert len(rest) == 3
+    t = ing.table()
+    assert len(t.current().applied) <= 3
+    assert t.applied_floor() >= 4
+    # idempotence through the floor: nothing pending, a rerun applies zero
+    assert ing.pending() == [] and ing.run(spark) == []
+
+    # incremental window spanning the truncation commit(s)
+    inc = t.read_incremental(spark, v_mid)
+    late_keys = {
+        (r["conv_id"], r["turn_idx"])
+        for r in events.filter(F.col("batch_id") >= 5)
+        .select("conv_id", "turn_idx").distinct().collect()
+    }
+    got_keys = {
+        (r["conv_id"], r["turn_idx"])
+        for r in inc.select("conv_id", "turn_idx").collect()
+    }
+    assert got_keys == late_keys
+    assert inc.count() == len(got_keys)

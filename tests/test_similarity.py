@@ -123,6 +123,66 @@ def test_embedding_near_dup_shape_and_canonical(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_kmeans_codebook_trainer(spark):
+    """Lloyd's trainer (round 3): deterministic under a seed, converging
+    (centroid shift strictly shrinks from first to last iteration, mean
+    best-cosine does not degrade), shuffle-free E-step (the assignment
+    plan has NO Exchange — the codebook rides as plan literals), and the
+    trained codebook slots into the IVF query path with the same
+    recall-reaches-1.0-at-full-probe contract as the label stand-in."""
+    from runyoro_llm_data_pipeline_spark.operators.similarity import (
+        _argmax_cluster_expr,
+        cosine_topk_ivf,
+        train_kmeans_codebook,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    hist = []
+    cb = train_kmeans_codebook(emb, k=8, n_iters=8, seed=1, history=hist)
+    rows = {r["cluster"]: r["c"] for r in cb.collect()}
+    assert sorted(rows) == list(range(8))
+    assert all(len(v) == 64 for v in rows.values())
+
+    # convergence diagnostics
+    assert len(hist) >= 2
+    assert hist[-1]["shift"] < hist[0]["shift"]
+    assert hist[-1]["mean_best_cos"] >= hist[0]["mean_best_cos"] - 1e-9
+
+    # determinism: retrain → bit-identical codebook
+    cb2 = {r["cluster"]: r["c"] for r in
+           train_kmeans_codebook(emb, k=8, n_iters=8, seed=1).collect()}
+    assert rows == cb2
+
+    # E-step is map-only: no Exchange anywhere in the assignment plan
+    cluster_col, _ = _argmax_cluster_expr(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        [list(rows[i]) for i in range(8)],
+    )
+    assigned = emb.select("vec_id", cluster_col)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    # trained codebook serves the IVF query path; full probe == exact
+    exact = {r["vec_id"]
+             for r in cosine_topk_bruteforce(emb, query_vec_id=7, k=10).collect()}
+    full = {r["vec_id"]
+            for r in cosine_topk_ivf(emb, query_vec_id=7, k=10, nprobe=8,
+                                     centroids=cb).collect()}
+    assert full == exact
+    part = {r["vec_id"]
+            for r in cosine_topk_ivf(emb, query_vec_id=7, k=10, nprobe=2,
+                                     centroids=cb).collect()}
+    assert len(part) == 10
+
+    # degenerate corpus: k clusters over few vectors — empty clusters
+    # keep their seed centroid, codebook stays k rows, no crash
+    tiny = emb.limit(9)
+    cb3 = train_kmeans_codebook(tiny, k=8, n_iters=3, seed=0)
+    assert cb3.count() == 8
+    with pytest.raises(ValueError, match="exceeds corpus"):
+        train_kmeans_codebook(emb.limit(3), k=8, n_iters=1)
+
+
 def test_ivf_recall_and_shape(spark):
     """IVF ANN (round 3): recall@10 vs brute force over several queries
     must clear 0.5 at nprobe=3 of 10 label-clusters (random-ish corpus —
