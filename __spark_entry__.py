@@ -30,6 +30,7 @@ from runyoro_llm_data_pipeline_spark.cdc.dedup import (  # noqa: E402
     collapse_latest_wins_salted,
 )
 from runyoro_llm_data_pipeline_spark.operators import (  # noqa: E402
+    corpus as cp,
     dedup as dd,
     relational as rel,
     similarity as sim,
@@ -405,6 +406,34 @@ def q_forced_alignment(spark, sf_dir):
     return align_audio_text_proportional(pairs, lines)
 
 
+def _kmeans_codebook() -> list[list[float]]:
+    """The TRAINED k-means codebook, a checked-in artifact (produced once
+    by ``train_kmeans_codebook(embeddings@sf0.01, k=4, n_iters=8,
+    seed=1)`` — see artifacts/README). Serving is split from training
+    exactly like the LSH/IVF indexes: the query below is the shuffle-free
+    E-step over these fixed centroids, so the oracle can replay the same
+    literals."""
+    import json
+
+    p = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "artifacts",
+        "kmeans_codebook.json",
+    )
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cb = _kmeans_codebook()
+    cluster_col, best_cs_col = sim._argmax_cluster_expr(
+        sim._as_double(F.col("embedding")), cb
+    )
+    return _emb(spark, sf_dir).select(
+        "vec_id", cluster_col, F.round(best_cs_col, 6).alias("cosine")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # CDC core (W3 latest-wins, salted skew variant, ordered ops)
     "cdc_latest_wins": q_cdc_latest_wins,
@@ -430,6 +459,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": lambda s, d: tx.lang_id_heuristic(_docs(s, d)),
     "fingerprint": lambda s, d: tx.fingerprint(_docs(s, d)),
     "json_props": q_json_props,
+    "vocab_topk": lambda s, d: cp.build_vocab(_docs(s, d), size=256),
     # dedup suite
     "dedup_exact": lambda s, d: dd.exact_dedup(_docs(s, d)),
     "ngram_jaccard_pairs": lambda s, d: dd.ngram_jaccard_pairs(
@@ -451,6 +481,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _emb(s, d), index=_nd_index(s, d)
     ),
     "knn_ivf": lambda s, d: sim.cosine_topk_ivf(_emb(s, d), query_vec_id=0, k=10),
+    "kmeans_assign": q_kmeans_assign,
     "label_centroids": sim.pairwise_label_centroids,
     # streaming-shaped windowed aggregate (batch parity form)
     "event_rate_1h": q_event_rate,
@@ -988,6 +1019,43 @@ LIMIT {k}
 
 ORACLES["knn_ivf"] = _knn_ivf_sql()
 
+
+def _kmeans_assign_sql() -> str:
+    """Mirror of the trained-codebook E-step: identical centroid literals
+    AND identical centroid-norm literals (the Spark side bakes the
+    driver-computed norm into the plan, so the oracle must use the same
+    number, not recompute sqrt(dot(cv,cv)) — last-ulp parity), identical
+    (cs DESC, cluster ASC) argmax tie order, 6-dp rounding at the edge."""
+    import math
+
+    cb = _kmeans_codebook()
+    vals = ",\n  ".join(
+        "({i}, [{cs}]::DOUBLE[], {cn!r})".format(
+            i=i,
+            cs=", ".join(repr(float(x)) for x in c),
+            cn=math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0,
+        )
+        for i, c in enumerate(cb)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c (cluster, cv, cn) AS (VALUES
+  {vals}),
+a AS (SELECT e.vec_id, c.cluster,
+        list_dot_product(e.v, c.cv) /
+          (sqrt(list_dot_product(e.v, e.v)) * c.cn) AS cs
+      FROM e, c)
+SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, round(cs, 6) AS cosine
+FROM (SELECT vec_id, cluster, cs,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cs DESC, cluster ASC) AS rn
+      FROM a)
+WHERE rn = 1
+"""
+
+
+ORACLES["kmeans_assign"] = _kmeans_assign_sql()
+
 ORACLES["scrape_extract"] = """
 WITH h AS (
   SELECT doc_id,
@@ -1092,6 +1160,19 @@ c AS (
   FROM r
 )
 SELECT doc_id, url, canon_url, md5(canon_url) AS url_key FROM c
+"""
+
+# S16 artifact half: frequency-ranked vocabulary over the documents corpus
+# (same whitespace tokenization as the textstats oracles); rank ties break
+# on the token string in both engines
+ORACLES["vocab_topk"] = f"""
+WITH toks AS ({_TOKS}),
+t AS (SELECT u.t AS token FROM toks, UNNEST(w) AS u(t) WHERE u.t <> ''),
+f AS (SELECT token, count(*) AS freq FROM t GROUP BY token),
+top AS (SELECT token, freq FROM f ORDER BY freq DESC, token LIMIT 256)
+SELECT token, freq,
+       CAST(row_number() OVER (ORDER BY freq DESC, token) AS INTEGER) AS rank
+FROM top
 """
 
 # salted variant shares its oracle with the unsalted collapse

@@ -79,6 +79,106 @@ def tokenize_fixed_width(
     )
 
 
+def build_vocab(
+    df: DataFrame, text_col: str = "text", size: int = 512
+) -> DataFrame:
+    """The tokenizer ARTIFACT half of S16 (``scripts/tokenizer_utils.py``
+    trains a vocabulary over the corpus and persists it): a
+    frequency-ranked vocabulary computed distributed.
+
+    Shape: explode tokens → ``groupBy(token)`` count (map-side partial
+    combine, shuffle rows ∝ distinct tokens per partition) → global
+    top-``size`` via ``orderBy.limit`` (TakeOrdered — a per-partition
+    heap of ``size`` entries, never a full sort) → ``row_number`` rank
+    over the surviving ``size`` rows only (single tiny partition by
+    construction — the artifact is small by definition). Deterministic:
+    ties break on the token string.
+
+    Returns (token, freq, rank), rank 1..size; id convention is
+    ``rank`` with 0 reserved for PAD/OOV (:func:`tokenize_with_vocab`).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
+    freq = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    top = freq.orderBy(F.col("freq").desc(), F.col("token")).limit(size)
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def save_vocab(vocab: DataFrame, path: str) -> int:
+    """Persist the vocabulary as ONE deterministic JSON artifact (the
+    reference writes its tokenizer to a single directory,
+    ``scripts/tokenizer_utils.py``). The artifact is driver-small by
+    definition (``size`` rows); write is atomic via tmp+rename so a
+    crashed writer never leaves a torn artifact."""
+    import json
+    import os
+
+    rows = sorted(
+        (int(r["rank"]), r["token"], int(r["freq"])) for r in vocab.collect()
+    )
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(tmp, "w") as fh:
+        json.dump(
+            [{"rank": k, "token": t, "freq": f} for k, t, f in rows], fh
+        )
+    os.replace(tmp, path)
+    return len(rows)
+
+
+def load_vocab(spark: SparkSession, path: str) -> DataFrame:
+    import json
+
+    with open(path) as fh:
+        rows = json.load(fh)
+    return spark.createDataFrame(
+        [(r["token"], r["freq"], r["rank"]) for r in rows],
+        "token string, freq long, rank int",
+    )
+
+
+def tokenize_with_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = PAD_ID,
+) -> DataFrame:
+    """text → id arrays under a TRAINED vocabulary (the serving half of
+    S16; :func:`tokenize_fixed_width` is the hash-vocab stand-in).
+    ``posexplode`` keeps token order; ids come from a **broadcast** left
+    join against the tiny vocab (OOV → ``oov_id``); the order-preserving
+    regroup is one ``groupBy(doc)`` collecting (pos, id) structs sorted
+    by pos — a single shuffle with rows ∝ tokens, the unavoidable
+    minimum for order-preserving re-assembly. Pure JVM end to end."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode_outer(tokens_col(F.col(text_col))).alias("__pos", "token"),
+    )
+    mapped = toks.join(
+        F.broadcast(vocab.select("token", "rank")), "token", "left"
+    ).select(
+        id_col,
+        "__pos",
+        F.coalesce(F.col("rank"), F.lit(oov_id)).cast("int").alias("__id"),
+    )
+    return mapped.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("__pos").isNotNull(),
+                        F.struct(F.col("__pos"), F.col("__id")),
+                    )
+                )
+            ),
+            lambda s: s["__id"],
+        ).alias("input_ids")
+    )
+
+
 def train_eval_split(
     df: DataFrame, eval_fraction: float = 0.1, seed: int = 42
 ) -> tuple[DataFrame, DataFrame]:

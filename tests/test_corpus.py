@@ -57,3 +57,60 @@ def test_validation_gate(spark, docs):
     broken = tok.withColumn("input_ids", F.slice("input_ids", 1, 5))
     with pytest.raises(ValueError, match="malformed"):
         validate_token_dataset(broken, block_size=32)
+
+
+def test_build_vocab_matches_local_recount(spark, docs):
+    """S16 artifact (round 3): the distributed frequency-ranked vocabulary
+    equals a driver-side recount of the same whitespace tokenization;
+    ranks are dense 1..min(size, |vocab|) with (freq DESC, token ASC)
+    ties (the fixture corpus has fewer distinct tokens than size)."""
+    from collections import Counter
+
+    from runyoro_llm_data_pipeline_spark.operators.corpus import build_vocab
+
+    got = build_vocab(docs, size=64).collect()
+    counts = Counter()
+    for r in docs.select("text").collect():
+        counts.update(r["text"].split())
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:64]
+    assert [(r["token"], r["freq"]) for r in
+            sorted(got, key=lambda r: r["rank"])] == want
+    assert sorted(r["rank"] for r in got) == list(
+        range(1, min(64, len(counts)) + 1)
+    )
+
+
+def test_vocab_save_load_roundtrip(spark, docs, tmp_path_factory):
+    import os
+
+    from runyoro_llm_data_pipeline_spark.operators.corpus import (
+        build_vocab,
+        load_vocab,
+        save_vocab,
+    )
+
+    v = build_vocab(docs, size=16)
+    path = os.path.join(str(tmp_path_factory.mktemp("vocab")), "vocab.json")
+    assert save_vocab(v, path) == 16
+    back = load_vocab(spark, path)
+    assert sorted(map(tuple, v.collect())) == sorted(map(tuple, back.collect()))
+
+
+def test_tokenize_with_vocab_order_and_oov(spark):
+    from runyoro_llm_data_pipeline_spark.operators.corpus import (
+        build_vocab,
+        tokenize_with_vocab,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "b a b c"), (1, "a zzz a"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    vocab = build_vocab(df, size=3)  # b:2 a:3? counts: a=3, b=2, c=1, zzz=1
+    ranks = {r["token"]: r["rank"] for r in vocab.collect()}
+    assert ranks["a"] == 1 and ranks["b"] == 2 and ranks["c"] == 3
+    ids = {r["doc_id"]: list(r["input_ids"])
+           for r in tokenize_with_vocab(df, vocab).collect()}
+    assert ids[0] == [ranks["b"], ranks["a"], ranks["b"], ranks["c"]]
+    assert ids[1] == [ranks["a"], 0, ranks["a"]]  # OOV ('zzz' not in top-3) -> 0
+    assert ids[2] == [] and ids[3] == []  # empty/blank docs kept, empty arrays
