@@ -474,6 +474,72 @@ class LakeTable:
         # several new commits)
         return collapse_stored(df, self.key_cols)
 
+    def was_applied(self, batch_id: int) -> bool:
+        """Floor-aware idempotency probe: True iff ``batch_id`` is
+        known-consumed — either its ledger entry is live in the current
+        snapshot, or it sits at/below the ``applied_floor`` low watermark
+        (``truncate_applied`` folded its entry away; the floor's contract
+        is that the whole contiguous prefix was applied). This is the
+        check ``apply_batch`` runs before doing any work, exposed for
+        source connectors that want to prune already-consumed offset
+        ranges before even reading them."""
+        snap = self.current()
+        return (
+            str(batch_id) in snap.applied
+            or batch_id <= int(snap.summary.get("applied_floor", -1))
+        )
+
+    def version_for_batch(self, batch_id: int) -> int:
+        """Resolve the snapshot version whose data commit applied
+        ``batch_id`` — the bridge from the *producer's* progress unit
+        (batch/offset-range id) to the *consumer's* (snapshot version).
+        The applying commit is uniquely identified by
+        ``commit_type == 'data' and summary.last_batch_id == batch_id``:
+        batch ids are single-shot (the idempotency gate skips replays)
+        and maintenance commits merely inherit the parent summary.
+
+        Walks newest→oldest, so cost is O(commits since the batch) — the
+        common "resume from a recent batch" case touches a handful of
+        manifests. Floor-aware failure modes when the walk exhausts
+        retained history (``expire_snapshots`` re-parented it away):
+        a batch at/below ``applied_floor`` or with a live ledger entry
+        was definitely applied but its commit point is expired →
+        ``IncrementalHistoryError`` (consumer must full-read); anything
+        else was never applied → ``KeyError``."""
+        s = self.current()
+        while True:
+            if (
+                s.commit_type == "data"
+                and s.summary.get("last_batch_id") == int(batch_id)
+            ):
+                return s.version
+            if s.parent is None:
+                break
+            try:
+                s = self.snapshot(s.parent)
+            except FileNotFoundError:
+                break
+        if self.was_applied(batch_id):
+            raise IncrementalHistoryError(
+                f"batch {batch_id} was applied but its commit snapshot is "
+                "outside retained history (expired) — fall back to a full "
+                "read"
+            )
+        raise KeyError(f"batch {batch_id} was never applied to this table")
+
+    def read_incremental_since_batch(
+        self, spark: SparkSession, batch_id: int
+    ) -> DataFrame:
+        """``read_incremental`` keyed on the last *batch id* the consumer
+        saw instead of a snapshot version: everything committed after the
+        data commit that applied ``batch_id``, latest-wins collapsed,
+        tombstones included. Lets a downstream consumer checkpoint the
+        same unit the ingest side checkpoints (the batch stream) without
+        tracking lake versions at all."""
+        return self.read_incremental(
+            spark, since_version=self.version_for_batch(batch_id)
+        )
+
     def create_view(
         self, spark: SparkSession, name: str, version: int | None = None
     ) -> None:

@@ -223,3 +223,68 @@ def test_auto_truncate_knob_and_incremental_across_floor(
     }
     assert got_keys == late_keys
     assert inc.count() == len(got_keys)
+
+
+def test_batch_keyed_incremental_consumer(spark, tmp_lake):
+    """A downstream consumer can checkpoint BATCH IDS (the same unit the
+    ingest side checkpoints) instead of lake versions:
+    ``version_for_batch`` resolves the applying data commit,
+    ``read_incremental_since_batch`` delivers exactly the later batches'
+    winners, and both stay correct across ledger truncation. Once
+    ``expire_snapshots`` drops the commit point, resolution fails with
+    the documented floor-aware errors instead of silently under- or
+    over-delivering."""
+    import pytest
+
+    from runyoro_llm_data_pipeline_spark.lake.table import (
+        IncrementalHistoryError,
+    )
+
+    t = _mk_table(tmp_lake)
+    events, _ = gen_change_log(spark, n_turns=300, n_convs=10, n_batches=6)
+    for b in range(6):
+        r = apply_batch(
+            spark, t, events.filter(F.col("batch_id") == b), batch_id=b
+        )
+        assert r["status"] == "applied"
+
+    assert t.was_applied(0) and t.was_applied(5)
+    assert not t.was_applied(6)
+    with pytest.raises(KeyError):
+        t.version_for_batch(99)
+
+    def keys_of(df):
+        return {
+            (r["conv_id"], r["turn_idx"])
+            for r in df.select("conv_id", "turn_idx").collect()
+        }
+
+    after2 = keys_of(events.filter(F.col("batch_id") >= 3))
+    inc = t.read_incremental_since_batch(spark, 2)
+    assert keys_of(inc) == after2
+    # sanity: the resolved version really is batch 2's data commit
+    v2 = t.version_for_batch(2)
+    assert t.snapshot(v2).summary["last_batch_id"] == 2
+
+    # truncation folds batch 0-3 ledger entries into the floor; the
+    # commit points are still retained, so batch-keyed consumption of a
+    # truncated batch still resolves and delivers batches 1-5
+    assert t.truncate_applied(keep_last=2) == 4
+    assert t.applied_floor() == 3
+    assert t.was_applied(0)  # known-applied through the floor
+    assert keys_of(t.read_incremental_since_batch(spark, 0)) == keys_of(
+        events.filter(F.col("batch_id") >= 1)
+    )
+
+    # expire history: last 2 snapshots = (batch-5 data commit, truncate
+    # maintenance commit). batch 5 still resolves; batch 0 is applied
+    # (floor says so) but its commit point is gone -> history error, NOT
+    # KeyError and NOT a wrong version
+    t.expire_snapshots(keep_last=2)
+    assert t.version_for_batch(5) == t.snapshot(
+        t.version_for_batch(5)
+    ).version
+    with pytest.raises(IncrementalHistoryError):
+        t.version_for_batch(0)
+    with pytest.raises(KeyError):
+        t.version_for_batch(77)
