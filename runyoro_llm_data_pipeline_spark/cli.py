@@ -47,6 +47,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="override master (default: whatever spark-submit set)")
     p.add_argument("--expire-keep-last", type=int, default=None,
                    help="expire old snapshots after ingest, keeping this many")
+    p.add_argument("--truncate-keep", type=int, default=4096,
+                   help="bound the applied-batch ledger to this many entries "
+                        "(contiguous prefix folds into the applied_floor low "
+                        "watermark); 0 disables")
     args = p.parse_args(argv)
 
     from runyoro_llm_data_pipeline_spark.session import get_spark
@@ -79,6 +83,7 @@ def main(argv: list[str] | None = None) -> int:
             mode=args.mode,
             compact_max_files=args.compact_max_files,
             collapse_impl=args.collapse_impl,
+            truncate_keep=args.truncate_keep or None,
         )
         results = ing.run(spark, max_batches=args.max_batches)
     dt = time.perf_counter() - t0
