@@ -9,3 +9,7 @@ from runyoro_llm_data_pipeline_spark.cdc.dedup import (  # noqa: F401
 )
 from runyoro_llm_data_pipeline_spark.cdc.apply import apply_batch  # noqa: F401
 from runyoro_llm_data_pipeline_spark.cdc.ingest import CdcIngest  # noqa: F401
+from runyoro_llm_data_pipeline_spark.cdc.feed import (  # noqa: F401
+    FeedToken,
+    IncrementalFeed,
+)
