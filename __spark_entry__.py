@@ -342,6 +342,31 @@ def q_event_rate(spark, sf_dir):
     )
 
 
+def q_asof_last_view(spark, sf_dir):
+    """Backward as-of join (operators/asof.py): each 'click' event picks
+    up the value of the same user's latest 'view' at or before it — the
+    time-keyed generalization of the reference's exact-basename artifact
+    pairing. The right side is collapsed to one row per (user, ts) via
+    max_by first (as-of is ambiguous under duplicate timestamps); both
+    engines collapse identically. Single hash shuffle on user_id; DuckDB
+    oracle is a native ASOF LEFT JOIN."""
+    from runyoro_llm_data_pipeline_spark.operators.asof import asof_join
+
+    ev = _ev(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("last_view_value"))
+    )
+    return asof_join(
+        clicks, views, keys=["user_id"], ts="ts",
+        value_cols=["last_view_value"],
+    ).select("event_id", "user_id", "click_value", "last_view_value")
+
+
 def q_scrape_extract(spark, sf_dir):
     """S7/S8 extraction half of the scrape connector: deterministic HTML
     synthesized over documents (article / main / no-container shapes, nav
@@ -491,6 +516,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forced_alignment": q_forced_alignment,
     "scrape_extract": q_scrape_extract,
     "url_canonical": q_url_canonical,
+    "asof_last_view": q_asof_last_view,
 }
 
 
@@ -1112,6 +1138,19 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        COUNT(*) AS n_events,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts)
+"""
+
+ORACLES["asof_last_view"] = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value AS click_value
+  FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, ts, max_by(value, event_id) AS last_view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, c.click_value, v.last_view_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
 """
 
 ORACLES["url_canonical"] = """

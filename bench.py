@@ -52,6 +52,7 @@ HEADLINE = [
     "forced_alignment",
     "scrape_extract",
     "url_canonical",
+    "asof_last_view",
 ]
 
 
