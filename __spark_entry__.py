@@ -367,6 +367,64 @@ def q_asof_last_view(spark, sf_dir):
     ).select("event_id", "user_id", "click_value", "last_view_value")
 
 
+def q_regime_range_join(spark, sf_dir):
+    """Bin-bucketed interval join (operators/rangejoin.py): events
+    attributed to overlapping time 'regimes' derived deterministically
+    from the nation table (25 regimes, each spanning 2/25 of the event
+    time range, 50% overlap with its neighbor — so most events match two
+    regimes). The interval dim is bin-exploded and broadcast: the fact
+    side never shuffles, the containment filter runs in the same codegen
+    stage, and no post-join dedup is needed because each event has
+    exactly one bin. Decimal sum keeps the aggregate order-independent."""
+    from runyoro_llm_data_pipeline_spark.operators.rangejoin import range_join_binned
+
+    # micros on the NTZ axis (session-TZ-independent; == DuckDB epoch_us)
+    eus = F.timestamp_diff(
+        "MICROSECOND", F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00")), F.col("ts")
+    )
+    ev = _ev(spark, sf_dir).select("event_id", eus.alias("eus"), "value")
+    bounds = ev.agg(
+        F.min("eus").alias("t0"), F.max("eus").alias("t1")
+    ).withColumn("span", F.floor((F.col("t1") - F.col("t0")) / F.lit(25)))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").alias("regime_id"),
+        F.col("n_name").alias("regime_name"),
+    )
+    regimes = nation.crossJoin(F.broadcast(bounds)).select(
+        "regime_id",
+        "regime_name",
+        (F.col("t0") + F.col("regime_id") * F.col("span")).alias("start_us"),
+        (
+            F.col("t0")
+            + F.col("regime_id") * F.col("span")
+            + F.lit(2) * F.col("span")
+        ).alias("end_us"),
+        F.col("span"),
+    )
+    span = bounds.head()["span"]  # bin granule == regime step (driver-side, 1 row)
+    joined = range_join_binned(
+        ev, regimes.drop("span"), ts="eus", start="start_us", end="end_us",
+        bin_width=int(span),
+    )
+    return joined.groupBy("regime_id", "regime_name").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+def q_hash_split(spark, sf_dir):
+    """O4 productionized (operators/corpus.py::hash_split): deterministic
+    content-keyed train/val/test assignment — md5-bucketed so the split is
+    a pure function of the key (plan/version/partitioning-independent,
+    unlike randomSplit) and any SQL engine reproduces it bit-for-bit.
+    Pure projection: no shuffle, no RNG."""
+    from runyoro_llm_data_pipeline_spark.operators.corpus import hash_split
+
+    return hash_split(_docs(spark, sf_dir), key="doc_id").select(
+        "doc_id", "lang", "split"
+    )
+
+
 def q_scrape_extract(spark, sf_dir):
     """S7/S8 extraction half of the scrape connector: deterministic HTML
     synthesized over documents (article / main / no-container shapes, nav
@@ -517,6 +575,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scrape_extract": q_scrape_extract,
     "url_canonical": q_url_canonical,
     "asof_last_view": q_asof_last_view,
+    "regime_range_join": q_regime_range_join,
+    "hash_split": q_hash_split,
+    "event_value_quantiles": rel.event_value_quantiles,
+    "top_orders_per_segment": rel.top_orders_per_segment,
 }
 
 
@@ -1216,6 +1278,60 @@ FROM top
 
 # salted variant shares its oracle with the unsalted collapse
 ORACLES["cdc_latest_wins_salted"] = ORACLES["cdc_latest_wins"]
+
+ORACLES["regime_range_join"] = """
+WITH b AS (
+  SELECT epoch_us(min(ts)) AS t0,
+         (epoch_us(max(ts)) - epoch_us(min(ts))) // 25 AS span
+  FROM events
+),
+r AS (
+  SELECT n_nationkey AS regime_id, n_name AS regime_name,
+         t0 + n_nationkey * span AS start_us,
+         t0 + n_nationkey * span + 2 * span AS end_us
+  FROM nation, b
+)
+SELECT r.regime_id, r.regime_name,
+       count(*) AS n_events,
+       CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM r JOIN (SELECT epoch_us(ts) AS eus, value FROM events) e
+  ON e.eus >= r.start_us AND e.eus < r.end_us
+GROUP BY 1, 2
+"""
+
+ORACLES["hash_split"] = """
+SELECT doc_id, lang,
+       CASE WHEN substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+              THEN 'train'
+            WHEN substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+ORACLES["event_value_quantiles"] = """
+SELECT event_type,
+       count(*) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+WHERE value IS NOT NULL AND NOT isnan(value)
+GROUP BY event_type
+"""
+
+ORACLES["top_orders_per_segment"] = """
+WITH ranked AS (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (
+           PARTITION BY c.c_mktsegment
+           ORDER BY o.o_totalprice DESC, o.o_orderkey
+         ) AS rank
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, rank, o_orderkey, o_totalprice
+FROM ranked WHERE rank <= 3
+"""
 
 
 def oracle_sql() -> dict[str, str]:

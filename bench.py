@@ -53,6 +53,10 @@ HEADLINE = [
     "scrape_extract",
     "url_canonical",
     "asof_last_view",
+    "regime_range_join",
+    "event_value_quantiles",
+    "top_orders_per_segment",
+    "hash_split",
 ]
 
 

@@ -187,6 +187,41 @@ def train_eval_split(
     return train, ev
 
 
+def hash_split(
+    df: DataFrame,
+    key: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic content-keyed split — the production form of O4.
+
+    ``randomSplit`` is seeded but *plan-dependent*: repartition the input
+    or bump the Spark version and rows migrate between splits. A training
+    pipeline wants the assignment to be a pure function of the record key
+    so reruns, backfills, and engine swaps never leak eval rows into
+    train. Bucket = first two hex chars of ``md5(salt || key)`` (256
+    uniform buckets, compared lexicographically so any SQL engine agrees
+    bit-for-bit); thresholds are whole buckets, so pcts quantize to
+    1/256 ≈ 0.4% granularity. Pure projection: no shuffle, no RNG state,
+    embarrassingly parallel at any scale.
+
+    Adds a ``split`` column ('train' / 'val' / 'test'); changing ``salt``
+    re-rolls the assignment globally (the knob for a fresh holdout).
+    """
+    if not (0 < train_pct and 0 <= val_pct and train_pct + val_pct <= 100):
+        raise ValueError("percentages must satisfy 0<train, 0<=val, sum<=100")
+    t_hi = f"{round(256 * train_pct / 100):02x}"
+    v_hi = f"{round(256 * (train_pct + val_pct) / 100):02x}"
+    b = F.substring(F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 2)
+    return df.withColumn(
+        "split",
+        F.when(b < t_hi, F.lit("train"))
+        .when(b < v_hi, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
 def validate_token_dataset(
     df: DataFrame, block_size: int = 64, min_rows: int = 10
 ) -> dict:

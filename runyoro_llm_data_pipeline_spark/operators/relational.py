@@ -203,6 +203,50 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (p50/p90/p99 of event value) — the
+    distribution half of the A4 quality gate: a validity *scan* says how
+    many rows are bad, quantiles say where the bulk sits. Uses Spark's
+    exact ``percentile`` (linear interpolation, ANSI ``quantile_cont``
+    semantics) so a single-threaded oracle agrees bit-for-bit after a
+    6-dp round that absorbs the one-ulp interpolation-order difference.
+    Exact percentiles sort each group once post-shuffle; at 100 TB swap
+    in ``approx_percentile`` (t-digest, map-side combinable) — same call
+    shape, bounded error, no per-group sort."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    pct = lambda p, name: F.round(F.percentile("value", F.lit(p)), 6).alias(name)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        pct(0.5, "p50"),
+        pct(0.9, "p90"),
+        pct(0.99, "p99"),
+    )
+
+
+def top_orders_per_segment(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Per-group top-k (O6 generalized from global top-k to grouped):
+    highest-value orders per market segment via row_number over a
+    deterministic (price desc, key) order. One shuffle on the group key;
+    rank predicate ``<= k`` pushes into the window node (Spark's
+    WindowGroupLimit) so each partition keeps a k-row heap instead of
+    materializing the full sort — the shape that survives hot groups."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("c_mktsegment", "rank", "o_orderkey", "o_totalprice")
+    )
+
+
 def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 generalization (NaN/validity scan, ``scripts/train_llm.py:210-224``):
     per-event-type counts of null / NaN / non-positive values — the

@@ -114,3 +114,35 @@ def test_tokenize_with_vocab_order_and_oov(spark):
     assert ids[0] == [ranks["b"], ranks["a"], ranks["b"], ranks["c"]]
     assert ids[1] == [ranks["a"], 0, ranks["a"]]  # OOV ('zzz' not in top-3) -> 0
     assert ids[2] == [] and ids[3] == []  # empty/blank docs kept, empty arrays
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark, docs):
+    from runyoro_llm_data_pipeline_spark.operators.corpus import hash_split
+
+    a = hash_split(docs, key="doc_id")
+    # pure function of the key: repartitioning must not move any row
+    b = hash_split(docs.repartition(7), key="doc_id")
+    assert (
+        a.select("doc_id", "split").exceptAll(b.select("doc_id", "split")).count()
+        == 0
+    )
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    n = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}
+    # 80/10/10 with 1/256 bucket quantization + sampling noise
+    assert 0.7 < counts["train"] / n < 0.9
+    # a different salt re-rolls assignments
+    c = hash_split(docs, key="doc_id", salt="split-v2")
+    moved = (
+        a.select("doc_id", "split").exceptAll(c.select("doc_id", "split")).count()
+    )
+    assert moved > 0
+
+
+def test_hash_split_rejects_bad_pcts(spark, docs):
+    import pytest as _pytest
+
+    from runyoro_llm_data_pipeline_spark.operators.corpus import hash_split
+
+    with _pytest.raises(ValueError):
+        hash_split(docs, key="doc_id", train_pct=90, val_pct=20)
