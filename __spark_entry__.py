@@ -579,6 +579,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_split": q_hash_split,
     "event_value_quantiles": rel.event_value_quantiles,
     "top_orders_per_segment": rel.top_orders_per_segment,
+    "rolling_event_avg": rel.rolling_event_avg,
+    "order_priority_pivot": rel.order_priority_pivot,
+    "balance_deciles": rel.balance_deciles,
+    "bigram_repetition": lambda s, d: tx.ngram_repetition(_docs(s, d)),
 }
 
 
@@ -1331,6 +1335,61 @@ WITH ranked AS (
 )
 SELECT c_mktsegment, rank, o_orderkey, o_totalprice
 FROM ranked WHERE rank <= 3
+"""
+
+
+ORACLES["rolling_event_avg"] = """
+WITH ev AS (
+  SELECT event_id, user_id, value,
+         date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS eps
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+)
+SELECT event_id, user_id, eps,
+       count(*) OVER w AS n_1h,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / count(*) OVER w, 6) AS avg_1h
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY eps
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["order_priority_pivot"] = """
+SELECT c.c_mktsegment,
+       count(*) FILTER (WHERE o.o_orderpriority = '1-URGENT') AS n_urgent,
+       count(*) FILTER (WHERE o.o_orderpriority = '2-HIGH') AS n_high,
+       count(*) FILTER (WHERE o.o_orderpriority = '3-MEDIUM') AS n_medium,
+       count(*) FILTER (WHERE o.o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+       count(*) FILTER (WHERE o.o_orderpriority = '5-LOW') AS n_low
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+ORACLES["balance_deciles"] = """
+SELECT c.c_custkey, n.n_name,
+       CAST(c.c_acctbal AS DOUBLE) AS acctbal,
+       CAST(ntile(10) OVER w AS INTEGER) AS decile,
+       round(cume_dist() OVER w, 6) AS cume
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WINDOW w AS (PARTITION BY n.n_name ORDER BY c.c_acctbal, c.c_custkey)
+"""
+
+ORACLES["bigram_repetition"] = f"""
+WITH toks AS ({_TOKS}),
+b AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+              ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM toks
+)
+SELECT doc_id,
+       len(grams) AS n_bigrams,
+       len(list_distinct(grams)) AS n_distinct,
+       round(CASE WHEN len(grams) > 0
+                  THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                  ELSE 0.0 END, 6) AS dup_frac
+FROM b
 """
 
 

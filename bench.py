@@ -57,6 +57,10 @@ HEADLINE = [
     "event_value_quantiles",
     "top_orders_per_segment",
     "hash_split",
+    "rolling_event_avg",
+    "order_priority_pivot",
+    "balance_deciles",
+    "bigram_repetition",
 ]
 
 

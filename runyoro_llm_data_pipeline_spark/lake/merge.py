@@ -75,15 +75,38 @@ def public_view(df: DataFrame) -> DataFrame:
 
 class SchemaConflictError(TypeError):
     """An existing column arrived with an incompatible type. The contract
-    is additive-only evolution (add nullable columns); type changes need
-    an explicit migration, exactly as in Iceberg's additive mode."""
+    is additive evolution (add nullable columns) plus Iceberg's safe type
+    promotions (int→long, float→double); anything else — narrowing,
+    string↔numeric, drop/rename — needs an explicit migration."""
+
+
+# Iceberg-parity safe promotions: widening inside one numeric family only.
+# Rank order = promotion order; a column may move up a ladder, never down
+# and never across ladders.
+_INT_LADDER = (T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType())
+_FLOAT_LADDER = (T.FloatType(), T.DoubleType())
+
+
+def _widen(a: T.DataType, b: T.DataType) -> T.DataType | None:
+    """The wider of two types if they sit on the same promotion ladder,
+    else None (= incompatible)."""
+    for ladder in (_INT_LADDER, _FLOAT_LADDER):
+        if a in ladder and b in ladder:
+            return ladder[max(ladder.index(a), ladder.index(b))]
+    return None
 
 
 def evolve_schema(table_schema: T.StructType, changes: DataFrame) -> T.StructType:
-    """Additive evolution: any non-internal change column missing from the
-    table schema is appended (nullable); internal version columns stay last.
-    Drop/rename is out of scope, and a type conflict on an existing column
-    fails loudly instead of corrupting the union."""
+    """Additive + widening evolution: any non-internal change column missing
+    from the table schema is appended (nullable); an existing column that
+    arrives as a safely-wider type (int→long, float→double) widens the
+    TABLE schema — older files are read through the widened schema
+    (Spark 4's Parquet readers up-convert INT32→bigint / FLOAT→double at
+    scan, so the migration is metadata-only, as in Iceberg). A column
+    arriving *narrower* than the table stores is accepted and up-cast on
+    write. Internal version columns stay last. Drop/rename is out of
+    scope, and any other type conflict fails loudly instead of corrupting
+    the union."""
     existing = {f.name: f.dataType for f in table_schema.fields}
     data_fields = [f for f in table_schema.fields if f.name not in INTERNAL_COLS]
     for f in changes.schema.fields:
@@ -95,13 +118,34 @@ def evolve_schema(table_schema: T.StructType, changes: DataFrame) -> T.StructTyp
                 and f.dataType != existing[f.name]
                 and not isinstance(f.dataType, T.NullType)
             ):
-                raise SchemaConflictError(
-                    f"column '{f.name}' arrived as {f.dataType.simpleString()} "
-                    f"but the table stores {existing[f.name].simpleString()}"
-                )
+                wider = _widen(existing[f.name], f.dataType)
+                if wider is None:
+                    raise SchemaConflictError(
+                        f"column '{f.name}' arrived as "
+                        f"{f.dataType.simpleString()} but the table stores "
+                        f"{existing[f.name].simpleString()}"
+                    )
+                data_fields = [
+                    T.StructField(df.name, wider, True) if df.name == f.name else df
+                    for df in data_fields
+                ]
             continue
         data_fields.append(T.StructField(f.name, f.dataType, True))
     return T.StructType(data_fields + internal_fields())
+
+
+def cast_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Up-cast any column of ``df`` whose type differs from ``schema``'s
+    (no-op when everything already matches — the common case). Used on
+    both the incoming batch and the rewritten target so every *written*
+    file carries exactly the evolved snapshot schema."""
+    target = {f.name: f.dataType for f in schema.fields}
+    out = df
+    for f in df.schema.fields:
+        want = target.get(f.name)
+        if want is not None and f.dataType != want:
+            out = out.withColumn(f.name, F.col(f.name).cast(want))
+    return out
 
 
 def _incoming_stored(changes: DataFrame, keys: list[str]) -> DataFrame:
@@ -150,10 +194,9 @@ def merge_append(
     try:
         stats_rows = _bucket_stats(changes)
         affected = {r["__bucket"] for r in stats_rows}
-        incoming = (
-            _incoming_stored(changes, keys)
-            .withColumn("__bucket", table.bucket_expr(key_cols[0]))
-        )
+        incoming = cast_to_schema(
+            _incoming_stored(changes, keys), schema
+        ).withColumn("__bucket", table.bucket_expr(key_cols[0]))
         version = snap.version + 1
         new_files = table.write_data_files(
             incoming, version, buckets_hint=max(len(affected), 1), kind="delta"
@@ -193,8 +236,8 @@ def merge_into(
         affected = {r["__bucket"] for r in stats_rows}
         carried = [f for f in snap.files if f["bucket"] not in affected]
 
-        incoming = _incoming_stored(changes, keys)
-        target = table.read_buckets(spark, affected, snap)
+        incoming = cast_to_schema(_incoming_stored(changes, keys), schema)
+        target = cast_to_schema(table.read_buckets(spark, affected, snap), schema)
         combined = target.unionByName(incoming, allowMissingColumns=True)
 
         payload = [c for c in out_cols if c not in keys and c not in INTERNAL_COLS]

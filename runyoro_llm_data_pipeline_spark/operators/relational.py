@@ -273,3 +273,95 @@ def listing_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("listing_md5"),
         F.count("*").alias("n_docs"),
     )
+
+
+def rolling_event_avg(spark: SparkSession, sf_dir: str, window_s: int = 3600) -> DataFrame:
+    """Time-RANGE sliding aggregate: per user, the mean event value over
+    the trailing hour (frame = RANGE BETWEEN window_s PRECEDING AND
+    CURRENT ROW on epoch seconds). The streaming twin is the tumbling
+    ``event_rate_1h``; this is the *overlapping* form a feature pipeline
+    uses for "activity in the last hour at each event".
+
+    One shuffle on user_id, then a single sort per partition serves both
+    frame aggregates. The mean is computed as exact decimal sum ÷ count
+    (both order-independent) and divided in double at the edge, so the
+    parallel frame evaluation can never drift from a single-threaded
+    oracle. At 100 TB: user_id partitioning is the natural key
+    distribution; a hot user degrades one task only (and the frame walk
+    is O(rows in window), not O(rows²))."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    eps = F.timestamp_diff(
+        "SECOND", F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00")), F.col("ts")
+    )
+    ev = ev.withColumn("eps", eps)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("eps")
+        .rangeBetween(-window_s, Window.currentRow)
+    )
+    vsum = F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+    vcnt = F.count("*").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "eps",
+        vcnt.alias("n_1h"),
+        F.round(vsum.cast("double") / vcnt, 6).alias("avg_1h"),
+    )
+
+
+def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): order counts per market segment × priority as
+    one row per segment with one column per priority. Spark's ``pivot``
+    with an explicit value list compiles to a single grouped aggregate of
+    conditional counts — one shuffle of 5×5 partial cells, no second pass
+    to discover the pivot domain (never call ``pivot`` without the value
+    list at scale: it runs an extra distinct job over the fact table)."""
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    wide = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority", pris)
+        .count()
+    )
+    renames = {
+        "1-URGENT": "n_urgent",
+        "2-HIGH": "n_high",
+        "3-MEDIUM": "n_medium",
+        "4-NOT SPECIFIED": "n_notspec",
+        "5-LOW": "n_low",
+    }
+    return wide.select(
+        "c_mktsegment",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(renames[p]) for p in pris],
+    )
+
+
+def balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranking inside groups: per-nation account-balance
+    decile (``ntile(10)``) and cumulative distribution (``cume_dist``)
+    for every customer. The order key is (c_acctbal, c_custkey) — fully
+    tie-broken, so both rank functions are deterministic and
+    engine-portable. One shuffle on the nation key; ranking is a single
+    sorted pass per partition."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    w = Window.partitionBy("n_name").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "n_name",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.ntile(10).over(w).alias("decile"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+    )

@@ -113,3 +113,36 @@ def corpus_filter(
         & (F.length(F.regexp_replace(t, r"(?U)\s", "")) > 0)
         & (F.length(t) > min_len)
     ).select("doc_id", "lang", "source", F.length(t).cast("long").alias("n_chars_actual"))
+
+
+def ngram_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document repetition score (Gopher/C4-style quality rule): the
+    fraction of word bigrams that are duplicates of an earlier bigram in
+    the same document — high values flag boilerplate/spam for the
+    training-data admission filter (companion to the cross-document dedup
+    family in ``operators/dedup.py``).
+
+    Pure per-row array algebra inside whole-stage codegen: tokenize once,
+    build the bigram list with ``zip_with`` over two shifted slices (no
+    explode — the corpus never leaves its scan partition and nothing
+    shuffles), then ``1 - distinct/total``. Docs with fewer than two
+    tokens score 0.0 by definition.
+    """
+    t = tokens_col(F.col(text_col))
+    df = docs.select("doc_id", t.alias("w"))
+    grams = F.expr(
+        "zip_with(slice(w, 1, greatest(size(w) - 1, 0)),"
+        "         slice(w, 2, greatest(size(w) - 1, 0)),"
+        "         (a, b) -> concat(a, ' ', b))"
+    )
+    df = df.select("doc_id", grams.alias("grams"))
+    n = F.size("grams").cast("long")
+    nd = F.size(F.array_distinct("grams")).cast("long")
+    return df.select(
+        "doc_id",
+        n.alias("n_bigrams"),
+        nd.alias("n_distinct"),
+        F.when(n > 0, F.round(F.lit(1.0) - nd.cast("double") / n, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )

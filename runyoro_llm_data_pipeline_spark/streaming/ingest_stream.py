@@ -149,3 +149,28 @@ def conversation_sessions(
             "n_turns",
         )
     )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "turn_idx", "lsn"),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming duplicate suppression ahead of the apply path:
+    ``dropDuplicatesWithinWatermark`` keeps one event per identity key and
+    lets state for keys older than the watermark expire — bounded state on
+    an unbounded stream, unlike plain ``dropDuplicates`` whose key store
+    grows forever. The engine's applied-offset gate already makes replays
+    structurally harmless *per batch*; this removes intra-stream wire
+    duplicates (at-least-once sources re-emitting events) *before* they
+    cost a collapse + write.
+
+    Works on a batch DataFrame too (Spark only defines
+    ``dropDuplicatesWithinWatermark`` for streams, so the batch path is
+    plain ``dropDuplicates`` over the whole frame — the equivalent
+    semantics when the "stream" is finite) — batch parity testable."""
+    if not events.isStreaming:
+        return events.dropDuplicates(list(keys))
+    return events.withWatermark("event_ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

@@ -141,3 +141,50 @@ def test_stateful_running_totals(spark, log, tmp_lake):
         .collect()
     }
     assert got == want
+
+
+def test_dedup_within_watermark_stream_and_batch_parity(spark, log, tmp_lake):
+    """Wire duplicates (an at-least-once source re-emitting events) are
+    suppressed by dropDuplicatesWithinWatermark in a real stream, and the
+    batch frame through the same function agrees."""
+    import tempfile
+
+    from runyoro_llm_data_pipeline_spark.streaming.ingest_stream import (
+        dedup_within_watermark,
+    )
+
+    src, _, events = log
+    # duplicate EVERY event once (worst-case redelivery), stream the union
+    dup_dir = tempfile.mkdtemp(prefix="dupsrc_", dir=tmp_lake)
+    doubled = events.unionAll(events)
+    doubled.write.mode("overwrite").parquet(os.path.join(dup_dir, "b0"))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(dup_dir)
+    )
+    out_dir = os.path.join(tmp_lake, "dedup_out")
+    ckpt = os.path.join(tmp_lake, "dedup_ckpt")
+    q = (
+        dedup_within_watermark(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out_dir)
+    batch = dedup_within_watermark(events.unionAll(events))
+    # one row per (conv_id, turn_idx, lsn): counts agree with the batch
+    # path and with the distinct-key count of the original log
+    n_keys = events.select("conv_id", "turn_idx", "lsn").distinct().count()
+    assert got.count() == n_keys
+    assert batch.count() == n_keys
+    assert (
+        got.groupBy("conv_id", "turn_idx", "lsn").count().filter("count > 1").count()
+        == 0
+    )
