@@ -517,6 +517,29 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the documents table. The synthetic corpus carries no
+    real PII, so the query seeds each doc with a deterministic
+    doc_id-derived email / phone / IPv4 suffix (mirrored in the oracle)
+    and redacts it — exercising every pattern on every row."""
+    from runyoro_llm_data_pipeline_spark.operators.pii import redact_pii
+
+    seeded = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex-a.com or +1 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ok"),
+        ).alias("text"),
+    )
+    return redact_pii(seeded)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # CDC core (W3 latest-wins, salted skew variant, ordered ops)
     "cdc_latest_wins": q_cdc_latest_wins,
@@ -583,6 +606,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_priority_pivot": rel.order_priority_pivot,
     "balance_deciles": rel.balance_deciles,
     "bigram_repetition": lambda s, d: tx.ngram_repetition(_docs(s, d)),
+    "redact_pii": q_redact_pii,
+    "gopher_quality": lambda s, d: tx.gopher_quality(_docs(s, d)),
+    "line_dedup": lambda s, d: dd.line_dedup(_docs(s, d)),
 }
 
 
@@ -1390,6 +1416,87 @@ SELECT doc_id,
                   THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
                   ELSE 0.0 END, 6) AS dup_frac
 FROM b
+"""
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+_PII_PHONE = "\\+[0-9][0-9 ()-]{5,16}[0-9]"
+
+ORACLES["redact_pii"] = f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex-a.com or +1 555-01'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 ok' AS text
+  FROM documents),
+s1 AS (SELECT doc_id, text,
+              regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+       FROM seeded),
+s2 AS (SELECT doc_id, text, t1,
+              regexp_replace(t1, '{_PII_IPV4}', '<IP>', 'g') AS t2
+       FROM s1)
+SELECT doc_id,
+       regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t1, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t2, '{_PII_PHONE}')) AS BIGINT) AS n_phones
+FROM s2
+"""
+
+ORACLES["gopher_quality"] = f"""
+WITH toks AS ({_TOKS}),
+feat AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+           AS n_alpha,
+         CAST(len(list_filter(w, x -> list_contains(
+              ['the','a','and','of','to','in','is','it'], lower(x)))) AS BIGINT)
+           AS n_stopwords,
+         list_sum(list_transform(w, x -> length(x))) AS sum_len
+  FROM toks),
+m AS (
+  SELECT doc_id, n_words, n_stopwords,
+         CASE WHEN n_words > 0
+              THEN round(CAST(sum_len AS DOUBLE) / n_words, 6) ELSE 0.0 END
+           AS mean_word_len,
+         CASE WHEN n_words > 0
+              THEN round(CAST(n_alpha AS DOUBLE) / n_words, 6) ELSE 0.0 END
+           AS alpha_frac
+  FROM feat)
+SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stopwords,
+       (n_words >= 5 AND n_words <= 100000) AS ok_words,
+       (mean_word_len >= 2.0 AND mean_word_len <= 12.0) AS ok_mean_word_len,
+       (alpha_frac >= 0.8) AS ok_alpha,
+       (n_stopwords >= 2) AS ok_stopwords,
+       ((n_words >= 5 AND n_words <= 100000)
+        AND (mean_word_len >= 2.0 AND mean_word_len <= 12.0)
+        AND alpha_frac >= 0.8 AND n_stopwords >= 2) AS passes
+FROM m
+"""
+
+ORACLES["line_dedup"] = f"""
+WITH toks AS ({_TOKS}),
+seg AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(ceil(len(w) / 8.0) AS INT)),
+                        i -> array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' '))
+           AS lines
+  FROM toks WHERE len(w) > 0),
+flat AS (
+  SELECT doc_id,
+         unnest(range(0, len(lines))) AS pos,
+         unnest(lines) AS line
+  FROM seg),
+freq AS (SELECT line, count(*) AS cnt FROM flat GROUP BY line)
+SELECT f.doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN q.cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN q.cnt <= 2 THEN f.line END, chr(10)
+                           ORDER BY f.pos), '') AS text_deduped
+FROM flat f JOIN freq q USING (line)
+GROUP BY f.doc_id
 """
 
 

@@ -61,6 +61,9 @@ HEADLINE = [
     "order_priority_pivot",
     "balance_deciles",
     "bigram_repetition",
+    "redact_pii",
+    "gopher_quality",
+    "line_dedup",
 ]
 
 

@@ -342,3 +342,88 @@ def dedup_keep_canonical(
     fixpoint for full clustering)."""
     drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return docs.join(drop, on="doc_id", how="left_anti")
+
+
+LINE_WORDS = 8
+MAX_LINE_FREQ = 2
+
+
+def doc_lines(
+    docs: DataFrame, text_col: str = "text", words_per_line: int = LINE_WORDS
+):
+    """Column expression: the document's text re-segmented into fixed-width
+    "lines" of ``words_per_line`` tokens (array<string>). The synthetic
+    corpus carries no newlines, so line structure is derived
+    deterministically from token position — a real web corpus passes its
+    actual newline-split lines through the same downstream contract."""
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    k = words_per_line
+    seq = F.sequence(F.lit(0), F.ceil(n / F.lit(float(k))).cast("int") - 1)
+    lines = F.transform(
+        seq, lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k))
+    )
+    return F.when(n > 0, lines).otherwise(F.array().cast("array<string>"))
+
+
+def doc_line_rows(
+    docs: DataFrame, text_col: str = "text", words_per_line: int = LINE_WORDS
+) -> DataFrame:
+    """(doc_id, pos, line) rows — the shared input of line-level dedup.
+    Like ``doc_shingles``, materialize this ONCE at scale and pass it via
+    ``line_dedup(..., lines=...)``: the tokenize+segment+explode projection
+    otherwise runs twice (once per side of the frequency self-join)."""
+    return docs.select(
+        "doc_id",
+        F.posexplode(doc_lines(docs, text_col, words_per_line)).alias(
+            "pos", "line"
+        ),
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_line_freq: int = MAX_LINE_FREQ,
+    words_per_line: int = LINE_WORDS,
+    lines: DataFrame | None = None,
+) -> DataFrame:
+    """C4-style cross-document line deduplication: drop every line whose
+    exact text occurs more than ``max_line_freq`` times corpus-wide
+    (boilerplate headers, nav bars, license blurbs), then reassemble each
+    document from its surviving lines in original order.
+
+    Plan shape (the part that must survive 100 TB): segment lines in the
+    scan stage, ONE hash aggregate for global line frequencies (map-side
+    combined — duplicate boilerplate collapses before the exchange), one
+    shuffle hash join of lines against their own frequency table (both
+    sides partitioned by the line key; AQE handles the skewed boilerplate
+    keys), then one groupBy(doc_id) to reassemble. No driver-side state,
+    no cross product; total shuffle volume is O(corpus lines), and the
+    frequency table is at most one row per *distinct* line.
+
+    Returns (doc_id, n_lines, n_kept, text_deduped) with the surviving
+    text joined by '\\n'. Documents whose every line was dropped come back
+    with ``text_deduped = ''`` (kept, not deleted — the admission decision
+    belongs to a downstream filter such as ``gopher_quality``).
+    """
+    if lines is None:
+        lines = doc_line_rows(docs, text_col, words_per_line)
+    freq = lines.groupBy("line").agg(F.count("*").alias("cnt"))
+    joined = lines.join(freq, "line")
+    keep = F.col("cnt") <= max_line_freq
+    agg = joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.array_sort(
+            F.collect_list(F.when(keep, F.struct("pos", "line")))
+        ).alias("kept"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.concat_ws(
+            "\n", F.transform(F.col("kept"), lambda x: x["line"])
+        ).alias("text_deduped"),
+    )

@@ -115,6 +115,86 @@ def corpus_filter(
     ).select("doc_id", "lang", "source", F.length(t).cast("long").alias("n_chars_actual"))
 
 
+# Gopher-style admission thresholds (Rae et al. 2021, "Scaling Language
+# Models", table A1 family). The *rule shapes* are the operator; the
+# numeric bounds are tuned down to the synthetic corpus (30-60-word docs)
+# and are plain keyword arguments for a real deployment.
+GOPHER_MIN_WORDS = 5
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 2.0
+GOPHER_MAX_MEAN_WORD_LEN = 12.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+    min_mean_word_len: float = GOPHER_MIN_MEAN_WORD_LEN,
+    max_mean_word_len: float = GOPHER_MAX_MEAN_WORD_LEN,
+    min_alpha_frac: float = GOPHER_MIN_ALPHA_FRAC,
+    min_stopwords: int = GOPHER_MIN_STOPWORDS,
+) -> DataFrame:
+    """Gopher-style document quality rules: word-count bounds, mean word
+    length bounds, fraction of words containing an alphabetic character,
+    and a minimum stopword count. Emits the measured features, one boolean
+    per rule, and the conjunction (``passes``) — the standard
+    training-data admission gate that sits between scraping and
+    tokenization.
+
+    Pure per-row array algebra inside whole-stage codegen (tokenize once,
+    three ``filter``/``aggregate`` passes over the token array — no
+    explode, no shuffle; at 100 TB this pipelines with the corpus scan).
+    Ratios are rounded to 6 dp so the DuckDB oracle compares exactly
+    (sum/count over identical integers is bit-identical IEEE754 in both
+    engines).
+    """
+    toks = tokens_col(F.col(text_col))
+    df = docs.select("doc_id", toks.alias("w"))
+    n = F.size("w").cast("long")
+    n_alpha = F.size(F.filter(F.col("w"), lambda x: x.rlike("[A-Za-z]"))).cast("long")
+    sw = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(
+        F.filter(F.col("w"), lambda x: F.array_contains(sw, F.lower(x)))
+    ).cast("long")
+    sum_len = F.aggregate(
+        F.col("w"), F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_len = F.when(n > 0, F.round(sum_len.cast("double") / n, 6)).otherwise(
+        F.lit(0.0)
+    )
+    alpha_frac = F.when(n > 0, F.round(n_alpha.cast("double") / n, 6)).otherwise(
+        F.lit(0.0)
+    )
+    df = df.select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.alias("n_stopwords"),
+    )
+    ok_words = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    ok_mean = (F.col("mean_word_len") >= min_mean_word_len) & (
+        F.col("mean_word_len") <= max_mean_word_len
+    )
+    ok_alpha = F.col("alpha_frac") >= min_alpha_frac
+    ok_stop = F.col("n_stopwords") >= min_stopwords
+    return df.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_frac",
+        "n_stopwords",
+        ok_words.alias("ok_words"),
+        ok_mean.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_mean & ok_alpha & ok_stop).alias("passes"),
+    )
+
+
 def ngram_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Intra-document repetition score (Gopher/C4-style quality rule): the
     fraction of word bigrams that are duplicates of an earlier bigram in

@@ -1,0 +1,99 @@
+"""Edge-case tests for the round-3 curation operators: PII redaction,
+Gopher-style quality rules, and cross-document line dedup.
+
+(The happy path over the driver tables is already covered by
+``test_oracle_parity.py``; these pin the corner semantics the oracle
+corpus can't reach — empty docs, placeholder non-rematch, boilerplate
+drop ordering.)
+"""
+
+from pyspark.sql import functions as F
+
+from runyoro_llm_data_pipeline_spark.operators.dedup import line_dedup
+from runyoro_llm_data_pipeline_spark.operators.pii import redact_pii
+from runyoro_llm_data_pipeline_spark.operators.textstats import gopher_quality
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_redact_pii_all_classes_and_no_rematch(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "mail a.b+tag@ex.co or call +44 (0)20-7946 0958 now"),
+            (2, "server at 192.168.0.1 and 10.0.0.255."),
+            (3, "clean text, no pii, version 1.2 is fine"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in redact_pii(d).collect()}
+    assert out[1]["redacted"] == "mail <EMAIL> or call <PHONE> now"
+    assert (out[1]["n_emails"], out[1]["n_phones"]) == (1, 1)
+    assert out[2]["redacted"] == "server at <IP> and <IP>."
+    assert out[2]["n_ipv4"] == 2
+    # version number "1.2" must survive: not an IP, no '+' so not a phone
+    assert out[3]["redacted"] == d.filter("doc_id = 3").first()["text"]
+    assert (out[3]["n_emails"], out[3]["n_ipv4"], out[3]["n_phones"]) == (0, 0, 0)
+
+
+def test_redact_pii_sequential_order(spark):
+    # the email's '+1555-0100' local part must be eaten by the EMAIL pass,
+    # not double-counted by the PHONE pass
+    d = _docs(spark, [(1, "x +1555-0100@ex.com y")])
+    r = redact_pii(d).first()
+    assert r["redacted"] == "x <EMAIL> y"
+    assert (r["n_emails"], r["n_phones"]) == (1, 0)
+
+
+def test_gopher_quality_flags(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "the cat sat on a mat and it is fine today ok"),  # passes
+            (2, "a b"),  # too few words
+            (3, ""),  # empty: all zero features, fails
+            (4, "1 2 3 4 5 6 7 8 9 10 the a of"),  # low alpha fraction
+        ],
+    )
+    out = {r["doc_id"]: r for r in gopher_quality(d).collect()}
+    assert out[1]["passes"] and out[1]["ok_alpha"] and out[1]["ok_stopwords"]
+    assert not out[2]["passes"] and not out[2]["ok_words"]
+    assert out[3]["n_words"] == 0 and out[3]["mean_word_len"] == 0.0
+    assert not out[3]["passes"]
+    assert not out[4]["ok_alpha"] and out[4]["alpha_frac"] < 0.8
+
+
+def test_line_dedup_drops_boilerplate_keeps_order(spark):
+    # words_per_line=2 → lines of two words; 'x x' appears in 3 docs → drop
+    d = _docs(
+        spark,
+        [
+            (1, "x x a b"),
+            (2, "x x c d"),
+            (3, "x x e f"),
+            (4, "g h i"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in line_dedup(d, words_per_line=2).collect()}
+    for i in (1, 2, 3):
+        assert out[i]["n_lines"] == 2 and out[i]["n_kept"] == 1
+    assert out[1]["text_deduped"] == "a b"
+    # order preserved and short tail line kept
+    assert out[4]["text_deduped"] == "g h\ni"
+    assert out[4]["n_kept"] == 2
+
+
+def test_line_dedup_all_dropped_yields_empty_string(spark):
+    d = _docs(spark, [(i, "same text") for i in range(5)])
+    out = line_dedup(d, words_per_line=2).collect()
+    assert all(r["text_deduped"] == "" and r["n_kept"] == 0 for r in out)
+    assert {r["doc_id"] for r in out} == set(range(5))
+
+
+def test_line_dedup_plan_single_agg_join(spark):
+    d = _docs(spark, [(1, "a b c d")])
+    plan = line_dedup(d)._jdf.queryExecution().executedPlan().toString()
+    # frequency count must partial-aggregate before the exchange
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
