@@ -609,6 +609,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redact_pii": q_redact_pii,
     "gopher_quality": lambda s, d: tx.gopher_quality(_docs(s, d)),
     "line_dedup": lambda s, d: dd.line_dedup(_docs(s, d)),
+    "pack_sequences": lambda s, d: cp.pack_sequences(_docs(s, d), window_tokens=2048),
 }
 
 
@@ -1497,6 +1498,29 @@ SELECT f.doc_id,
                            ORDER BY f.pos), '') AS text_deduped
 FROM flat f JOIN freq q USING (line)
 GROUP BY f.doc_id
+"""
+
+
+ORACLES["pack_sequences"] = f"""
+WITH toks AS ({_TOKS}),
+c AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks),
+s AS (SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_offset
+      FROM c)
+SELECT doc_id, n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset + n_tokens AS BIGINT) AS end_offset,
+       CAST(start_offset // 2048 AS BIGINT) AS first_window,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN (start_offset + n_tokens - 1) // 2048
+                 ELSE start_offset // 2048 END AS BIGINT) AS last_window,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN (start_offset + n_tokens - 1) // 2048
+                      - start_offset // 2048 + 1
+                 ELSE 0 END AS BIGINT) AS n_windows
+FROM s
 """
 
 

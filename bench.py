@@ -64,6 +64,7 @@ HEADLINE = [
     "redact_pii",
     "gopher_quality",
     "line_dedup",
+    "pack_sequences",
 ]
 
 

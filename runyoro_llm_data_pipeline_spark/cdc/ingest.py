@@ -43,6 +43,7 @@ class CdcIngest:
         normalize_impl: str = "jvm",
         quarantine_dir: str | None = None,
         truncate_keep: int | None = 4096,
+        compact_target_file_rows: int | None = None,
     ):
         """The default ``mode='mor'`` + ``compact_max_files=k`` is the
         high-throughput configuration every published number uses: batches
@@ -59,7 +60,14 @@ class CdcIngest:
         manifest growth otherwise, which matters at 10⁵+ batches. Runs at
         most once per ``run()``, after the batch loop, so it costs one
         manifest write per ingest cycle, not per batch. ``None``
-        disables."""
+        disables.
+
+        ``compact_target_file_rows`` caps rows per compacted file: big
+        buckets split into key-contiguous files whose harvested manifest
+        key ranges make point lookups read ~1 base file
+        (``LakeTable.candidate_files_for_key``). ``None`` keeps one file
+        per bucket — the better default when the table is mostly scanned,
+        not point-served."""
         self.table_path = table_path
         self.batch_dir = batch_dir
         self.num_buckets = num_buckets
@@ -70,6 +78,7 @@ class CdcIngest:
         self.normalize_impl = normalize_impl
         self.quarantine_dir = quarantine_dir
         self.truncate_keep = truncate_keep
+        self.compact_target_file_rows = compact_target_file_rows
 
     def table(self) -> LakeTable:
         if os.path.exists(os.path.join(self.table_path, "_VERSION")):
@@ -151,7 +160,10 @@ class CdcIngest:
             if self.mode == "mor" and self.compact_max_files is not None:
                 hot = table.buckets_needing_compaction(self.compact_max_files)
                 if hot:
-                    table.compact(spark, hot)
+                    table.compact(
+                        spark, hot,
+                        target_file_rows=self.compact_target_file_rows,
+                    )
         if (
             results
             and self.truncate_keep is not None

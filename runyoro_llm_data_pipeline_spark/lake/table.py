@@ -162,6 +162,52 @@ def _exclusive_write(path: str, content: str) -> None:
         os.fsync(fh.fileno())
 
 
+def _harvest_key_ranges(root: str, entries: list[dict], key: str) -> None:
+    """Attach per-file ``min_key``/``max_key`` of ``key`` (from parquet
+    footers, threaded, O(files) driver-side — the same trick as the
+    lineage footer harvest) to manifest entries in place. Iceberg keeps the
+    same per-data-file column bounds in its manifests; here they let a
+    point lookup prune *files* inside the already-pruned bucket before
+    parquet row-group stats prune pages. Only meaningful for key-sorted
+    writes (compaction/rebucket) where files cover disjoint key ranges.
+
+    Any stats gap (missing footer statistics, type surprises, truncated
+    bounds) simply leaves the entry without a range — an unranged file is
+    always read, so the harvest can only cost performance, never
+    correctness."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
+    def one(e: dict) -> None:
+        try:
+            md = pq.ParquetFile(os.path.join(root, e["path"])).metadata
+            idx = next(
+                (
+                    i
+                    for i in range(md.num_columns)
+                    if md.schema.column(i).name == key
+                ),
+                None,
+            )
+            if idx is None:
+                return
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return  # partial stats → make no claim for this file
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None:
+                e["min_key"], e["max_key"] = lo, hi
+        except Exception:
+            return
+
+    with ThreadPoolExecutor(max_workers=min(16, max(len(entries), 1))) as ex:
+        list(ex.map(one, entries))
+
+
 def collapse_stored(df: DataFrame, keys: list[str]) -> DataFrame:
     """Latest-wins collapse of *stored* rows (base ∪ delta files) by the
     internal version columns — the read-side half of merge-on-read. Same
@@ -385,18 +431,20 @@ class LakeTable:
 
     def read_conversation(self, spark: SparkSession, conv_id: str) -> DataFrame:
         """Point lookup: read ONE conversation by pruning to its hash
-        bucket driver-side — touches 1/num_buckets of the table's files
-        regardless of table size, then row-group stats inside those files
-        narrow further. The per-conversation serving path."""
+        bucket driver-side (1/num_buckets of the table's files regardless
+        of table size), then to the files whose harvested key range covers
+        the key (≈1 base file after a size-targeted compaction), then let
+        parquet row-group stats narrow further. The per-conversation
+        serving path."""
         snap = self.current()
-        # compute the bucket with the exact engine expression (1-row local
-        # job — constant-folded, no scan)
-        bucket = spark.range(1).select(
-            F.pmod(F.xxhash64(F.lit(conv_id)), F.lit(self.num_buckets))
-            .cast("int").alias("b")
-        ).collect()[0]["b"]
-        df = self.read_buckets(spark, {bucket}, snap)
-        if any(f.get("kind", "base") == "delta" for f in snap.files if f["bucket"] == bucket):
+        _bucket, cand = self.candidate_files_for_key(spark, conv_id, snap)
+        schema = snap.schema()
+        paths = [os.path.join(self.path, f["path"]) for f in cand]
+        if not paths:
+            df = spark.createDataFrame([], schema)
+        else:
+            df = spark.read.schema(schema).parquet(*paths)
+        if any(f.get("kind", "base") == "delta" for f in cand):
             df = collapse_stored(df, self.key_cols)
         out = df.filter(F.col(self.key_cols[0]) == conv_id)
         if DELETED in out.columns:
@@ -592,6 +640,7 @@ class LakeTable:
         pre_partitioned: bool = False,
         salt_cols: list[str] | None = None,
         sort_cols: list[str] | None = None,
+        max_records_per_file: int | None = None,
     ) -> list[dict[str, Any]]:
         """Write ``df`` (must contain ``__bucket``) into this snapshot's data
         dir, one Parquet directory partition per bucket; returns manifest
@@ -629,11 +678,14 @@ class LakeTable:
             # hot-path delta writes stay sort-free (sorting there would
             # tax ingest throughput for transient files).
             df = df.sortWithinPartitions("__bucket", *sort_cols)
-        (
-            df.write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(out_dir)
-        )
+        writer = df.write.mode("overwrite").partitionBy("__bucket")
+        if max_records_per_file:
+            # split big buckets into several key-contiguous files (rows are
+            # already sorted within the task when sort_cols is set), so the
+            # harvested per-file key ranges become disjoint and a point
+            # lookup reads ~1 file however large the bucket grows
+            writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+        writer.parquet(out_dir)
         entries: list[dict[str, Any]] = []
         for bdir in sorted(os.listdir(out_dir)):
             if not bdir.startswith("__bucket="):
@@ -648,6 +700,11 @@ class LakeTable:
                             "kind": kind,
                         }
                     )
+        if sort_cols:
+            # key-sorted writes (compaction/rebucket) get per-file key
+            # bounds in the manifest; hot-path delta writes skip the
+            # harvest along with the sort
+            _harvest_key_ranges(self.path, entries, sort_cols[0])
         return entries
 
     # ----------------------------------------------------------- compaction
@@ -662,7 +719,47 @@ class LakeTable:
                 counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
         return {b for b, n in counts.items() if n > max_files}
 
-    def compact(self, spark: SparkSession, buckets: set[int] | None = None) -> int:
+    def bucket_for_key(self, spark: SparkSession, key_value: str) -> int:
+        """The key's hash bucket, computed with the exact engine expression
+        (1-row local job — constant-folded, no scan)."""
+        return (
+            spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(key_value)), F.lit(self.num_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .collect()[0]["b"]
+        )
+
+    def candidate_files_for_key(
+        self, spark: SparkSession, key_value: str, snap: Snapshot | None = None
+    ) -> tuple[int, list[dict[str, Any]]]:
+        """Point-lookup planning: the key's hash bucket, then file-level
+        key-range pruning inside it (files with harvested
+        ``min_key``/``max_key`` bounds that exclude ``key_value`` are
+        skipped; unranged files — all hot-path deltas — are always kept).
+        Driver-side arithmetic over the manifest — the file-skipping half
+        of what Iceberg does with manifest column bounds."""
+        snap = snap or self.current()
+        bucket = self.bucket_for_key(spark, key_value)
+        cand = [
+            f
+            for f in snap.files
+            if f["bucket"] == bucket
+            and (
+                "min_key" not in f
+                or f["min_key"] <= key_value <= f["max_key"]
+            )
+        ]
+        return bucket, cand
+
+    def compact(
+        self,
+        spark: SparkSession,
+        buckets: set[int] | None = None,
+        target_file_rows: int | None = None,
+    ) -> int:
         """Fold delta files back into one base file per bucket (latest-wins
         collapse with tombstones retained — a stale replayed event must
         still lose to a newer delete). Data-only commit: the applied-offset
@@ -690,7 +787,7 @@ class LakeTable:
         version = snap.version + 1
         new_files = self.write_data_files(
             compacted, version, buckets_hint=max(len(buckets), 1), kind="base",
-            sort_cols=self.key_cols,
+            sort_cols=self.key_cols, max_records_per_file=target_file_rows,
         )
         carried = [f for f in snap.files if f["bucket"] not in buckets]
         self.commit(

@@ -20,7 +20,7 @@ All JVM expressions except nothing — zero Python UDFs in this module.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from runyoro_llm_data_pipeline_spark.operators.textstats import tokens_col
@@ -267,3 +267,102 @@ def corpus_from_lake(
         F.col("conv_id"), F.col("turn_idx"), F.col("text")
     )
     return admission_filter(df, min_len=min_len)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    window_tokens: int = 2048,
+    order_key: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """GPT-style sequence-packing map: conceptually concatenate the corpus
+    token stream in deterministic ``order_key`` order and slice it into
+    fixed ``window_tokens`` training windows; emit, per document, its
+    global token offsets and the window span it lands in
+    (start/end_offset, first/last_window, n_windows). The trainer's packer
+    consumes this map to build batches without ever materializing the
+    concatenated stream.
+
+    The core is a GLOBAL prefix sum — the one aggregation a naive Window
+    over ``ORDER BY order_key`` (no partition) funnels through a single
+    task. This implements the scalable two-pass form instead:
+
+    1. bucket rows by ``order_key`` range, with boundaries taken from
+       ``approxQuantile`` and frozen into the plan as literals (the
+       assignment is a pure function of the data — unlike
+       ``spark_partition_id()``, it cannot drift between the two passes
+       if a stage is recomputed);
+    2. one hash aggregate for per-bucket token totals (map-side combined;
+       n_buckets rows to the driver), exclusive-prefix them driver-side;
+    3. within-bucket running sum (Window partitioned by bucket — parallel
+       across buckets) plus the bucket's broadcast offset.
+
+    Cost at any scale: one quantile sample job + one tiny agg at plan
+    time, then a single hash shuffle of the (key, count) projection.
+    ``order_key`` must be numeric (quantile bounds); offsets are exact
+    longs. Empty documents get ``n_windows = 0`` at their current offset.
+    """
+    from runyoro_llm_data_pipeline_spark.operators.textstats import token_count
+
+    spark = docs.sparkSession
+    b = int(window_tokens)
+    counts = docs.select(
+        F.col(order_key), token_count(F.col(text_col)).alias("n_tokens")
+    )
+    p = n_buckets or spark.sparkContext.defaultParallelism
+    probs = [i / p for i in range(1, p)]
+    bounds = counts.stat.approxQuantile(order_key, probs, 0.001) if probs else []
+    # strictly increasing bounds only (duplicates collapse empty buckets)
+    uniq: list[float] = []
+    for x in bounds:
+        if not uniq or x > uniq[-1]:
+            uniq.append(x)
+    if uniq:
+        barr = F.array(*[F.lit(x) for x in uniq])
+        bkt = F.size(
+            F.filter(barr, lambda x: x < F.col(order_key).cast("double"))
+        )
+    else:
+        bkt = F.lit(0)
+    counts = counts.withColumn("__bkt", bkt)
+
+    sums = {
+        r["__bkt"]: r["s"]
+        for r in counts.groupBy("__bkt").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    off, offsets = 0, []
+    for i in sorted(sums):
+        offsets.append((i, off))
+        off += int(sums[i] or 0)
+    odf = spark.createDataFrame(
+        offsets or [(0, 0)], "__bkt int, __bucket_offset long"
+    )
+
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(order_key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    start = (F.col("__bucket_offset") + within).alias("start_offset")
+    out = counts.join(F.broadcast(odf), "__bkt").select(
+        order_key, "n_tokens", start
+    )
+    end = F.col("start_offset") + F.col("n_tokens")
+    fw = F.floor(F.col("start_offset") / b).cast("long")
+    lw = F.when(F.col("n_tokens") > 0, F.floor((end - 1) / b)).otherwise(fw).cast(
+        "long"
+    )
+    return out.select(
+        order_key,
+        "n_tokens",
+        "start_offset",
+        end.cast("long").alias("end_offset"),
+        fw.alias("first_window"),
+        lw.alias("last_window"),
+        F.when(F.col("n_tokens") > 0, lw - fw + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_windows"),
+    )

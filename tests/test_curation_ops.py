@@ -97,3 +97,29 @@ def test_line_dedup_plan_single_agg_join(spark):
     # frequency count must partial-aggregate before the exchange
     assert "partial_count" in plan or "HashAggregate" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_offsets_and_windows(spark):
+    from runyoro_llm_data_pipeline_spark.operators.corpus import pack_sequences
+
+    # 5 docs, 3 tokens each, window=4: stream offsets 0,3,6,9,12
+    d = _docs(spark, [(i, "a b c") for i in range(5)])
+    out = {r["doc_id"]: r for r in pack_sequences(d, window_tokens=4).collect()}
+    assert [out[i]["start_offset"] for i in range(5)] == [0, 3, 6, 9, 12]
+    # doc 1 spans tokens 3..5 → windows 0..1
+    assert (out[1]["first_window"], out[1]["last_window"], out[1]["n_windows"]) == (0, 1, 2)
+    # doc 2 spans 6..8 → windows 1..2
+    assert (out[2]["first_window"], out[2]["last_window"]) == (1, 2)
+
+
+def test_pack_sequences_bucket_invariance_and_empty_docs(spark):
+    from runyoro_llm_data_pipeline_spark.operators.corpus import pack_sequences
+
+    rows = [(i, "w " * (i % 7)) for i in range(40)]  # includes empty docs
+    d = _docs(spark, rows)
+    a = sorted(map(tuple, pack_sequences(d, 8, n_buckets=1).collect()))
+    b = sorted(map(tuple, pack_sequences(d, 8, n_buckets=5).collect()))
+    c = sorted(map(tuple, pack_sequences(d, 8, n_buckets=64).collect()))
+    assert a == b == c  # offsets are a pure function of the data
+    empty = [t for t in a if t[1] == 0]
+    assert empty and all(t[6] == 0 for t in empty)  # n_windows = 0
