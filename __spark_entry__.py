@@ -166,6 +166,24 @@ def _shingles(spark, sf_dir):
     return spark.read.parquet(path)
 
 
+_LINES_CACHE: dict[str, str] = {}
+
+
+def _lines(spark, sf_dir):
+    """Materialized (doc_id, pos, line) table (doc_line_rows → parquet),
+    built once per corpus per process — both sides of line_dedup's
+    frequency self-join read it, so tokenize+segment+explode is paid once
+    (same economics as the shared shingle table)."""
+    path = _LINES_CACHE.get(sf_dir)
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix="lines_"), "ln")
+        dd.doc_line_rows(_docs(spark, sf_dir)).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _LINES_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
+
+
 _LSH_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -608,7 +626,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_repetition": lambda s, d: tx.ngram_repetition(_docs(s, d)),
     "redact_pii": q_redact_pii,
     "gopher_quality": lambda s, d: tx.gopher_quality(_docs(s, d)),
-    "line_dedup": lambda s, d: dd.line_dedup(_docs(s, d)),
+    "line_dedup": lambda s, d: dd.line_dedup(_docs(s, d), lines=_lines(s, d)),
     "pack_sequences": lambda s, d: cp.pack_sequences(_docs(s, d), window_tokens=2048),
 }
 

@@ -130,6 +130,9 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, int], dict[str, fl
     t0 = time.perf_counter()
     entrymod._nd_index(spark, SF_DIR).count()
     mat["nd_index_build_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    entrymod._lines(spark, SF_DIR).count()
+    mat["lines_build_sec"] = round(time.perf_counter() - t0, 3)
 
     qs = entrymod.queries()
     times: dict[str, float] = {}
