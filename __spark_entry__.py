@@ -535,6 +535,34 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_RATES = {f"src{i}": ((i % 4) + 1) / 5 for i in range(20)}
+
+
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing sampler over the documents table: per-source keep
+    rates 0.2/0.4/0.6/0.8 cycling over src0..src19."""
+    from runyoro_llm_data_pipeline_spark.operators.corpus import mix_sample
+
+    return mix_sample(
+        _docs(spark, sf_dir), MIX_RATES, stratum_col="source", key="doc_id"
+    ).select("doc_id", "source")
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: the 'eval set' is the deterministic
+    doc_id % 97 == 0 slice of the corpus itself (guaranteed overlaps);
+    both shingle sides come from the shared materialized shingle table."""
+    sh = _shingles(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    return dd.decontaminate(
+        docs,
+        benchmark=None,  # unused when bench_shingles is supplied
+        min_overlap=2,
+        shingles=sh,
+        bench_shingles=sh.filter(F.col("doc_id") % 97 == 0),
+    )
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over the documents table. The synthetic corpus carries no
     real PII, so the query seeds each doc with a deterministic
@@ -628,6 +656,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": lambda s, d: tx.gopher_quality(_docs(s, d)),
     "line_dedup": lambda s, d: dd.line_dedup(_docs(s, d), lines=_lines(s, d)),
     "pack_sequences": lambda s, d: cp.pack_sequences(_docs(s, d), window_tokens=2048),
+    "mix_sample": q_mix_sample,
+    "decontaminate": q_decontaminate,
 }
 
 
@@ -1539,6 +1569,39 @@ SELECT doc_id, n_tokens,
                       - start_offset // 2048 + 1
                  ELSE 0 END AS BIGINT) AS n_windows
 FROM s
+"""
+
+
+def _mix_case_sql() -> str:
+    from runyoro_llm_data_pipeline_spark.operators.corpus import mix_threshold_hex
+
+    arms = "\n".join(
+        f"         WHEN '{s}' THEN '{mix_threshold_hex(r)}'"
+        for s, r in MIX_RATES.items()
+    )
+    return f"CASE source\n{arms}\n         ELSE '00000000' END"
+
+
+ORACLES["mix_sample"] = f"""
+WITH m AS (
+  SELECT doc_id, source,
+         substring(md5('mix-v1' || source || '|' || CAST(doc_id AS VARCHAR)),
+                   1, 8) AS b
+  FROM documents)
+SELECT doc_id, source FROM m
+WHERE b < {_mix_case_sql()}
+"""
+
+ORACLES["decontaminate"] = f"""
+WITH {_SHINGLES},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+ov AS (SELECT s.doc_id, count(*) AS n_overlap
+       FROM sh s JOIN bench b USING (shingle)
+       GROUP BY s.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       COALESCE(o.n_overlap, 0) >= 2 AS contaminated
+FROM documents d LEFT JOIN ov o USING (doc_id)
 """
 
 

@@ -65,6 +65,8 @@ HEADLINE = [
     "gopher_quality",
     "line_dedup",
     "pack_sequences",
+    "mix_sample",
+    "decontaminate",
 ]
 
 

@@ -366,3 +366,61 @@ def pack_sequences(
         .cast("long")
         .alias("n_windows"),
     )
+
+
+def mix_threshold_hex(rate: float) -> str:
+    """Keep-threshold for ``mix_sample``: a row is kept when the first 8
+    hex chars of its md5 bucket sort lexicographically below this string.
+    Rates quantize to 1/2^32; rate ≥ 1 maps to 'g' (above every hex
+    digit) so full strata are kept exactly."""
+    if rate >= 1.0:
+        return "g"
+    if rate <= 0.0:
+        return "00000000"
+    return format(round(rate * 16**8), "08x")
+
+
+def mix_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    key: str = "doc_id",
+    salt: str = "mix-v1",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic data-mixing sampler: keep each row of stratum ``s``
+    with probability ``rates[s]`` — the domain-weighting stage of a
+    training-data pipeline (upsample curated sources, downsample crawl),
+    with the same production guarantee as ``hash_split``: the decision is
+    a pure function of (salt, stratum, key), so reruns, backfills, and
+    engine swaps sample the identical rows, and the same row is never
+    double-admitted by two pipeline runs. ``sample()``/``sampleBy()`` are
+    seeded but plan-dependent — repartitioning moves rows between draws.
+
+    Pure projection + filter (zero shuffle, pushes into the scan); strata
+    missing from ``rates`` fall back to ``default_rate`` (0 = drop —
+    explicit allowlist semantics).
+    """
+    b = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(salt),
+                F.col(stratum_col).cast("string"),
+                F.lit("|"),
+                F.col(key).cast("string"),
+            )
+        ),
+        1,
+        8,
+    )
+    thr = None
+    for s, r in rates.items():
+        lit = F.lit(mix_threshold_hex(r))
+        thr = (
+            F.when(F.col(stratum_col) == s, lit)
+            if thr is None
+            else thr.when(F.col(stratum_col) == s, lit)
+        )
+    dflt = F.lit(mix_threshold_hex(default_rate))
+    thr = thr.otherwise(dflt) if thr is not None else dflt
+    return df.filter(b < thr)

@@ -427,3 +427,53 @@ def line_dedup(
             "\n", F.transform(F.col("kept"), lambda x: x["line"])
         ).alias("text_deduped"),
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+    min_overlap: int = 2,
+    shingles: DataFrame | None = None,
+    bench_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing at
+    least ``min_overlap`` distinct k-word shingles with an evaluation set
+    — the standard n-gram decontamination pass (GPT-3 appendix-C family)
+    that must run before a corpus is certified for training.
+
+    Plan shape: corpus shingles (shared via ``shingles=`` with the rest
+    of the dedup family) equi-join the benchmark's distinct-shingle set.
+    Eval suites are small, so the benchmark side is broadcast — the
+    corpus never shuffles for the probe; one groupBy(doc_id) counts
+    distinct overlaps (corpus shingles are already distinct per doc and
+    the broadcast side is globally distinct, so a plain count is the
+    distinct-overlap count). Every doc comes back (left join), zero
+    overlap included — the admission decision stays with the caller.
+
+    For a benchmark too large to broadcast, pass the same frames and drop
+    the broadcast hint upstream; the join degrades to a shuffle hash join
+    on the shingle key with identical semantics.
+    """
+    corpus_sh = _sh_or(shingles, docs, text_col, k)
+    bench_sh = (
+        bench_shingles
+        if bench_shingles is not None
+        else doc_shingles(benchmark, text_col, k)
+    ).select("shingle").distinct()
+    overlap = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    n = F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long")
+    return (
+        docs.select("doc_id")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            n.alias("n_overlap"),
+            (n >= min_overlap).alias("contaminated"),
+        )
+    )

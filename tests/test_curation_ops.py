@@ -123,3 +123,47 @@ def test_pack_sequences_bucket_invariance_and_empty_docs(spark):
     assert a == b == c  # offsets are a pure function of the data
     empty = [t for t in a if t[1] == 0]
     assert empty and all(t[6] == 0 for t in empty)  # n_windows = 0
+
+
+def test_mix_sample_rates_and_determinism(spark):
+    from runyoro_llm_data_pipeline_spark.operators.corpus import mix_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(4000)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mix_sample(d, {"a": 0.5, "b": 1.0}, key="doc_id")
+    got = out.groupBy("source").count().collect()
+    by = {r["source"]: r["count"] for r in got}
+    assert by["b"] == 2000  # rate 1.0 keeps everything
+    assert abs(by["a"] - 1000) < 120  # ~0.5 within binomial noise
+    # pure function of (salt, stratum, key): repartition can't move rows
+    again = {
+        r["doc_id"]
+        for r in mix_sample(d.repartition(13), {"a": 0.5, "b": 1.0}).collect()
+    }
+    assert again == {r["doc_id"] for r in out.collect()}
+    # unknown stratum drops by default, keeps with default_rate=1
+    e = spark.createDataFrame([(1, "zz")], "doc_id long, source string")
+    assert mix_sample(e, {"a": 0.5}).count() == 0
+    assert mix_sample(e, {"a": 0.5}, default_rate=1.0).count() == 1
+
+
+def test_decontaminate_flags_overlap(spark):
+    from runyoro_llm_data_pipeline_spark.operators.dedup import decontaminate
+
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words here nothing shared at all"),
+            (3, "quick brown fox appears again in this one"),
+        ],
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox is a benchmark prompt")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, min_overlap=2).collect()}
+    assert out[1]["contaminated"] and out[1]["n_overlap"] >= 2
+    assert not out[2]["contaminated"] and out[2]["n_overlap"] == 0
+    assert out[3]["n_overlap"] >= 1  # shares 'quick brown fox'
+    assert set(out) == {1, 2, 3}  # zero-overlap docs still reported
