@@ -47,6 +47,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="override master (default: whatever spark-submit set)")
     p.add_argument("--expire-keep-last", type=int, default=None,
                    help="expire old snapshots after ingest, keeping this many")
+    p.add_argument("--compact-target-file-rows", type=int, default=None,
+                   help="split compacted buckets into key-contiguous files of "
+                        "at most this many rows (enables manifest key-range "
+                        "point-lookup pruning)")
+    p.add_argument("--tag", default=None,
+                   help="tag the table's final snapshot with this name "
+                        "(tagged snapshots survive expiry until dropped)")
+    p.add_argument("--maintain", action="store_true",
+                   help="run the full maintenance pass after ingest "
+                        "(compaction + ledger truncation + snapshot expiry + "
+                        "orphan cleanup)")
     p.add_argument("--truncate-keep", type=int, default=4096,
                    help="bound the applied-batch ledger to this many entries "
                         "(contiguous prefix folds into the applied_floor low "
@@ -84,11 +95,20 @@ def main(argv: list[str] | None = None) -> int:
             compact_max_files=args.compact_max_files,
             collapse_impl=args.collapse_impl,
             truncate_keep=args.truncate_keep or None,
+            compact_target_file_rows=args.compact_target_file_rows,
         )
         results = ing.run(spark, max_batches=args.max_batches)
     dt = time.perf_counter() - t0
     table = ing.table()
-    if args.expire_keep_last:
+    if args.tag:
+        table.tag(args.tag)
+    if args.maintain:
+        table.maintain(
+            spark,
+            target_file_rows=args.compact_target_file_rows,
+            keep_last_snapshots=args.expire_keep_last or 4,
+        )
+    elif args.expire_keep_last:
         table.expire_snapshots(keep_last=args.expire_keep_last)
     applied = [r for r in results if r["status"] == "applied"]
     print(

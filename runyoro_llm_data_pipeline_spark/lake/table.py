@@ -56,6 +56,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 VERSION_POINTER = "_VERSION"
+TAGS_FILE = "tags.json"
 SNAP_DIR = "snapshots"
 DATA_DIR = "data"
 LINEAGE_DIR = "lineage"
@@ -303,6 +304,100 @@ class LakeTable:
             raise FileNotFoundError(f"no committed snapshot at {self.path}")
         return self.snapshot(v)
 
+    # ----------------------------------------------------------- named refs
+    def tags(self) -> dict[str, int]:
+        """Named snapshot refs (Iceberg tag semantics): name → version.
+        Tagged snapshots survive ``expire_snapshots`` until the tag is
+        dropped."""
+        p = os.path.join(self.path, TAGS_FILE)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as fh:
+            return {k: int(v) for k, v in json.load(fh).items()}
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Create/overwrite a named ref pointing at ``version`` (default:
+        current). The target manifest must exist. Atomic rewrite —
+        readers never see a partial tags file."""
+        v = self.current().version if version is None else int(version)
+        self.snapshot(v)  # raises if the manifest doesn't exist
+        t = self.tags()
+        t[name] = v
+        _atomic_write(os.path.join(self.path, TAGS_FILE), json.dumps(t, indent=1))
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        t = self.tags()
+        t.pop(name, None)
+        _atomic_write(os.path.join(self.path, TAGS_FILE), json.dumps(t, indent=1))
+
+    def resolve_ref(self, ref: int | str) -> int:
+        """int → itself; str → the tagged version (KeyError if unknown)."""
+        if isinstance(ref, str):
+            t = self.tags()
+            if ref not in t:
+                raise KeyError(f"unknown tag {ref!r}; known: {sorted(t)}")
+            return t[ref]
+        return int(ref)
+
+    def rollback(self, version_or_ref: int | str) -> Snapshot:
+        """Restore the table to a prior snapshot's state by committing a
+        NEW snapshot with that snapshot's files, schema, applied-offset
+        ledger, and summary (history-preserving, Iceberg-style rollback):
+        versions stay monotonic so the parent-chain invariants of
+        ``recover()``/``read_incremental`` hold, and batches applied
+        after the target become re-ingestable again because the ledger
+        (and its ``applied_floor``/watermark summary keys) are restored
+        wholesale, not merged."""
+        target = self.snapshot(self.resolve_ref(version_or_ref))
+        cur = self.current()
+        return self.commit(
+            new_files=[],
+            carried_files=list(target.files),
+            schema=target.schema(),
+            applied_update={},
+            applied_replace=dict(target.applied),
+            summary_replace=dict(target.summary),
+            summary_update={
+                "rolled_back_from": cur.version,
+                "rolled_back_to": target.version,
+            },
+            parent=cur,
+            commit_type="rollback",
+        )
+
+    def maintain(
+        self,
+        spark: SparkSession,
+        compact_max_files: int = 4,
+        target_file_rows: int | None = None,
+        truncate_keep: int = 4096,
+        keep_last_snapshots: int = 4,
+        orphan_age_seconds: float = 3600,
+    ) -> dict[str, int]:
+        """One-call production maintenance pass — the mix the soak bench
+        runs inline (BENCH.md §0b): compact read-amplified buckets, fold
+        the applied ledger into its low watermark, expire old snapshots
+        (tagged ones retained), reclaim orphaned files. Every step is an
+        independent crash-safe commit or idempotent cleanup; safe to run
+        from a cron alongside the ingester (single-writer discipline
+        applies to the pair as a whole)."""
+        hot = self.buckets_needing_compaction(compact_max_files)
+        return {
+            "compacted_buckets": (
+                self.compact(spark, hot, target_file_rows=target_file_rows)
+                if hot
+                else 0
+            ),
+            "applied_truncated": self.truncate_applied(keep_last=truncate_keep),
+            "snapshots_expired": self.expire_snapshots(
+                keep_last=keep_last_snapshots
+            ),
+            "orphans_removed": self.cleanup_orphans(
+                min_age_seconds=orphan_age_seconds
+            ),
+        }
+
     def _valid_orphan_snapshot(self, version: int) -> Snapshot | None:
         """Parse snapshots/vN.json if it exists and is a complete, correctly
         chained manifest (a crashed writer can leave a partial file — the
@@ -391,14 +486,19 @@ class LakeTable:
     def read(
         self,
         spark: SparkSession,
-        version: int | None = None,
+        version: int | str | None = None,
         include_internal: bool = False,
     ) -> DataFrame:
-        """Read the table at a snapshot (time travel). Explicit schema makes
-        older files missing newly-added columns yield nulls. By default the
-        public view is returned: tombstones filtered, internal CDC version
-        columns dropped."""
-        snap = self.current() if version is None else self.snapshot(version)
+        """Read the table at a snapshot (time travel) — by version number
+        or by tag name (``table.read(spark, "certified-v1")``). Explicit
+        schema makes older files missing newly-added columns yield nulls.
+        By default the public view is returned: tombstones filtered,
+        internal CDC version columns dropped."""
+        snap = (
+            self.current()
+            if version is None
+            else self.snapshot(self.resolve_ref(version))
+        )
         schema = snap.schema()
         paths = [os.path.join(self.path, f["path"]) for f in snap.files]
         if not paths:
@@ -813,6 +913,7 @@ class LakeTable:
         commit_type: str = "data",
         pending_txn: str | None = None,
         applied_replace: dict[str, list[int]] | None = None,
+        summary_replace: dict[str, Any] | None = None,
     ) -> Snapshot:
         """``pending_txn`` stages the snapshot for a multi-table
         transaction (lake/txn.py): the manifest is written exclusively but
@@ -827,7 +928,11 @@ class LakeTable:
             else dict(base.applied)
         )
         applied.update(applied_update)
-        summary = dict(base.summary)
+        summary = (
+            dict(summary_replace)
+            if summary_replace is not None
+            else dict(base.summary)
+        )
         summary.update(summary_update or {})
         lineage_files = list(base.lineage_files)
         if lineage_rel_path:
@@ -931,7 +1036,13 @@ class LakeTable:
         import time
 
         live: set[str] = set()
-        for s in self.history():
+        pinned: list[Snapshot] = []
+        for v in sorted(set(self.tags().values())):
+            try:
+                pinned.append(self.snapshot(v))
+            except (OSError, ValueError):
+                continue
+        for s in self.history() + pinned:
             live |= {f["path"] for f in s.files}
             live |= set(s.lineage_files)
         def referenced(rel: str) -> bool:
@@ -1020,9 +1131,21 @@ class LakeTable:
         if len(chain) <= keep_last:
             return 0
         kept = chain[-keep_last:]
-        dropped = chain[:-keep_last]
-        live = {f["path"] for s in kept for f in s.files}
-        live |= {p for s in kept for p in s.lineage_files}
+        # tagged snapshots are pinned: their manifests and files survive
+        # expiry until the tag is dropped (Iceberg ref-retention
+        # semantics). Resolve tags by manifest, not via the chain — a
+        # prior expiry's re-parenting may have detached them from
+        # history() while they remain directly readable.
+        tagged = set(self.tags().values())
+        pinned = []
+        for v in sorted(tagged):
+            try:
+                pinned.append(self.snapshot(v))
+            except (OSError, ValueError):
+                continue
+        dropped = [s for s in chain[:-keep_last] if s.version not in tagged]
+        live = {f["path"] for s in kept + pinned for f in s.files}
+        live |= {p for s in kept + pinned for p in s.lineage_files}
         removed = 0
         for s in dropped:
             for f in s.files:
