@@ -167,3 +167,79 @@ def test_decontaminate_flags_overlap(spark):
     assert not out[2]["contaminated"] and out[2]["n_overlap"] == 0
     assert out[3]["n_overlap"] >= 1  # shares 'quick brown fox'
     assert set(out) == {1, 2, 3}  # zero-overlap docs still reported
+
+
+# ---------------------------------------------------------------- properties
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "x1", "the", ""])
+_doc_texts = st.lists(
+    st.lists(_word, min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_doc_texts, st.integers(min_value=1, max_value=20))
+def test_pack_sequences_properties(shared_spark_holder, texts, window):
+    """Offsets are contiguous in order_key order, total span = token sum,
+    and window spans are consistent with the offsets."""
+    from runyoro_llm_data_pipeline_spark.operators.corpus import pack_sequences
+
+    spark = shared_spark_holder
+    d = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = sorted(
+        pack_sequences(d, window_tokens=window, n_buckets=3).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    expect_start = 0
+    for r in rows:
+        assert r["start_offset"] == expect_start
+        assert r["end_offset"] == r["start_offset"] + r["n_tokens"]
+        expect_start = r["end_offset"]
+        assert r["first_window"] == r["start_offset"] // window
+        if r["n_tokens"] > 0:
+            assert r["last_window"] == (r["end_offset"] - 1) // window
+            assert r["n_windows"] == r["last_window"] - r["first_window"] + 1
+        else:
+            assert r["n_windows"] == 0
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_doc_texts, st.integers(min_value=1, max_value=3))
+def test_line_dedup_properties(shared_spark_holder, texts, max_freq):
+    """Reassembled text is exactly the original line sequence minus lines
+    whose corpus-wide frequency exceeds the cap; counters agree."""
+    from collections import Counter
+
+    from runyoro_llm_data_pipeline_spark.operators.dedup import line_dedup
+
+    spark = shared_spark_holder
+    k = 2
+    d = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+    def lines_of(t):
+        w = [x for x in t.split() if x]
+        return [" ".join(w[i : i + k]) for i in range(0, len(w), k)]
+
+    freq = Counter(ln for t in texts for ln in lines_of(t))
+    got = {r["doc_id"]: r for r in line_dedup(d, words_per_line=k, max_line_freq=max_freq).collect()}
+    for i, t in enumerate(texts):
+        lns = lines_of(t)
+        if not lns:
+            assert i not in got  # no lines → no output row (like unnest)
+            continue
+        kept = [ln for ln in lns if freq[ln] <= max_freq]
+        assert got[i]["n_lines"] == len(lns)
+        assert got[i]["n_kept"] == len(kept)
+        assert got[i]["text_deduped"] == "\n".join(kept)
