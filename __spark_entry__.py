@@ -658,6 +658,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": lambda s, d: cp.pack_sequences(_docs(s, d), window_tokens=2048),
     "mix_sample": q_mix_sample,
     "decontaminate": q_decontaminate,
+    "dedup_keep_best": lambda s, d: dd.exact_dedup_keep_best(_docs(s, d)),
+    "pack_windows": lambda s, d: cp.pack_windows(_docs(s, d), window_tokens=2048),
 }
 
 
@@ -1602,6 +1604,48 @@ SELECT d.doc_id,
        CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
        COALESCE(o.n_overlap, 0) >= 2 AS contaminated
 FROM documents d LEFT JOIN ov o USING (doc_id)
+"""
+
+
+ORACLES["dedup_keep_best"] = """
+WITH c AS (
+  SELECT doc_id, md5(text) AS text_md5,
+         CAST(len(string_split_regex(
+              regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+           AS DOUBLE) AS s
+  FROM documents),
+r AS (
+  SELECT text_md5, doc_id,
+         row_number() OVER (PARTITION BY text_md5
+                            ORDER BY s DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY text_md5) AS n
+  FROM c)
+SELECT text_md5, doc_id AS kept_doc_id, CAST(n AS BIGINT) AS n_dups
+FROM r WHERE rn = 1
+"""
+
+ORACLES["pack_windows"] = f"""
+WITH toks AS ({_TOKS}),
+c AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks),
+s AS (SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_offset
+      FROM c),
+e AS (SELECT CAST(start_offset AS BIGINT) AS start_offset,
+             CAST(start_offset + n_tokens AS BIGINT) AS end_offset,
+             CAST(start_offset // 2048 AS BIGINT) AS fw,
+             CAST((start_offset + n_tokens - 1) // 2048 AS BIGINT) AS lw
+      FROM s WHERE n_tokens > 0),
+f AS (SELECT start_offset, end_offset,
+             unnest(range(fw, lw + 1)) AS window_id
+      FROM e)
+SELECT window_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(least(end_offset, (window_id + 1) * 2048)
+                - greatest(start_offset, window_id * 2048)) AS BIGINT)
+         AS n_tokens
+FROM f GROUP BY window_id
 """
 
 

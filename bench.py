@@ -67,6 +67,8 @@ HEADLINE = [
     "pack_sequences",
     "mix_sample",
     "decontaminate",
+    "dedup_keep_best",
+    "pack_windows",
 ]
 
 

@@ -424,3 +424,40 @@ def mix_sample(
     dflt = F.lit(mix_threshold_hex(default_rate))
     thr = thr.otherwise(dflt) if thr is not None else dflt
     return df.filter(b < thr)
+
+
+def pack_windows(
+    docs: DataFrame,
+    window_tokens: int = 2048,
+    order_key: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """The window-side view of ``pack_sequences``: one row per training
+    window with how many documents contribute to it and how many of its
+    token slots they fill. Every window except the stream's last must be
+    exactly full (``n_tokens = window_tokens``) — the invariant a trainer
+    asserts before consuming the pack.
+
+    Derived from the packing map by exploding each doc's window span
+    (``sequence(first_window, last_window)`` — bounded by
+    doc_len/window + 1 rows per doc) and clipping the doc's token
+    interval to each window; one hash aggregate by window id.
+    """
+    b = int(window_tokens)
+    m = pack_sequences(docs, b, order_key, text_col, n_buckets)
+    m = m.filter(F.col("n_tokens") > 0)
+    w = F.explode(
+        F.sequence(F.col("first_window"), F.col("last_window"))
+    ).alias("window_id")
+    rows = m.select(F.col("start_offset"), F.col("end_offset"), w)
+    lo = F.greatest(F.col("start_offset"), F.col("window_id") * b)
+    hi = F.least(F.col("end_offset"), (F.col("window_id") + 1) * b)
+    return (
+        rows.select("window_id", (hi - lo).alias("n_from_doc"))
+        .groupBy("window_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_from_doc").cast("long").alias("n_tokens"),
+        )
+    )

@@ -477,3 +477,37 @@ def decontaminate(
             (n >= min_overlap).alias("contaminated"),
         )
     )
+
+
+def exact_dedup_keep_best(
+    docs: DataFrame,
+    text_col: str = "text",
+    score=None,
+) -> DataFrame:
+    """Quality-weighted exact dedup: per md5(text) duplicate group, keep
+    the member that maximizes ``score`` (default: token count, ties broken
+    by smaller doc_id so the pick is total-ordered and deterministic).
+    The curation variant of ``exact_dedup`` — when duplicates differ in
+    upstream metadata (scrape completeness, earlier pipeline loss), "keep
+    the best copy" beats "keep the first copy".
+
+    Same single map-side-combinable hash aggregate as ``exact_dedup``:
+    ``max_by`` over struct(score, -doc_id) partial-aggregates before the
+    exchange, so a pathological million-copy document crosses the wire
+    once per input partition."""
+    from runyoro_llm_data_pipeline_spark.operators.textstats import token_count
+
+    s = score if score is not None else token_count(F.col(text_col))
+    ordv = F.struct(
+        s.cast("double").alias("s"), (-F.col("doc_id")).alias("tie")
+    )
+    return (
+        docs.select(
+            F.col("doc_id"), F.md5(F.col(text_col)).alias("text_md5"), ordv.alias("__o")
+        )
+        .groupBy("text_md5")
+        .agg(
+            F.max_by("doc_id", F.col("__o")).alias("kept_doc_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )

@@ -243,3 +243,32 @@ def test_line_dedup_properties(shared_spark_holder, texts, max_freq):
         assert got[i]["n_lines"] == len(lns)
         assert got[i]["n_kept"] == len(kept)
         assert got[i]["text_deduped"] == "\n".join(kept)
+
+
+def test_pack_windows_full_except_last(spark):
+    from runyoro_llm_data_pipeline_spark.operators.corpus import pack_windows
+
+    d = _docs(spark, [(i, "w " * (3 + i % 9)) for i in range(50)])
+    rows = sorted(pack_windows(d, window_tokens=16).collect(), key=lambda r: r["window_id"])
+    total = sum(3 + i % 9 for i in range(50))
+    assert [r["window_id"] for r in rows] == list(range(len(rows)))
+    assert all(r["n_tokens"] == 16 for r in rows[:-1])  # every window full
+    assert rows[-1]["n_tokens"] == total - 16 * (len(rows) - 1)
+    assert sum(r["n_tokens"] for r in rows) == total
+
+
+def test_exact_dedup_keep_best_picks_longest(spark):
+    from runyoro_llm_data_pipeline_spark.operators.dedup import exact_dedup_keep_best
+    from pyspark.sql import functions as F
+
+    d = _docs(
+        spark,
+        [(1, "same text"), (2, "same text"), (3, "other"), (4, "other longer copy")],
+    )
+    out = {r["text_md5"]: r for r in exact_dedup_keep_best(d).collect()}
+    groups = {r["kept_doc_id"]: r["n_dups"] for r in out.values()}
+    # duplicates of 'same text': equal score -> smaller doc_id wins
+    assert groups[1] == 2
+    # custom score: prefer HIGHER doc_id via score=doc_id
+    out2 = exact_dedup_keep_best(d, score=F.col("doc_id")).collect()
+    assert {r["kept_doc_id"] for r in out2} >= {2}
