@@ -577,12 +577,22 @@ class LakeTable:
         semantics make that safe for any latest-wins consumer).
 
         Raises ``IncrementalHistoryError`` when the chain or a needed
-        file has been expired (``expire_snapshots``/``cleanup_orphans``)
-        — the consumer must fall back to a full read."""
+        file has been expired (``expire_snapshots``/``cleanup_orphans``),
+        or when a **rollback** commit sits inside the window — a rollback
+        makes the window non-forward-only (rows the consumer already
+        holds must be *unwound*, which upsert deltas cannot express), so
+        the consumer must resync from the full state."""
         cur = self.current()
         chain: list[Snapshot] = []
         s = cur
         while s.version > since_version:
+            if s.commit_type == "rollback":
+                raise IncrementalHistoryError(
+                    f"v{s.version} is a rollback (to "
+                    f"v{s.summary.get('rolled_back_to')}); the window "
+                    f"since v{since_version} is not forward-only — fall "
+                    "back to a full read"
+                )
             chain.append(s)
             if s.parent is None:
                 raise IncrementalHistoryError(

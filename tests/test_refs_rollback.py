@@ -111,3 +111,35 @@ def test_rollback_by_tag_and_maintain(spark, tmp_lake):
     }
     assert _rows(t.read(spark)) == state0  # maintenance is data-preserving
     assert _rows(t.read(spark, "good")) == state0  # tag pinned through it
+
+
+def test_rollback_forces_feed_resync_and_replica_converges(
+    spark, tmp_lake, tmp_path_factory
+):
+    """A rollback inside an incremental window cannot be expressed as
+    upsert deltas — the feed must resync, after which the replica equals
+    the table exactly (no stale post-rollback rows survive)."""
+    from runyoro_llm_data_pipeline_spark.cdc.feed import IncrementalFeed
+
+    t, events = _mk(spark, tmp_lake, "t5")
+    ckpt = str(tmp_path_factory.mktemp("ck")) + "/pos.json"
+    feed = IncrementalFeed(t.path, ckpt)
+
+    apply_batch(spark, t, events.filter(F.col("batch_id") == 0), 0, mode="mor")
+    v_after_0 = t.current().version
+    apply_batch(spark, t, events.filter(F.col("batch_id") == 1), 1, mode="mor")
+    df, tok = feed.poll(spark)  # replica now holds batches 0+1
+    feed.commit(tok)
+    replica = {tuple(r) for r in df.filter(~F.col("_cdc_deleted")).drop("_cdc_deleted").collect()}
+
+    t.rollback(v_after_0)
+    apply_batch(spark, t, events.filter(F.col("batch_id") == 2), 2, mode="mor")
+    out = feed.poll(spark)
+    assert out is not None
+    df2, tok2 = out
+    assert tok2.was_resync  # rollback in window -> full resync, not deltas
+    feed.commit(tok2)
+    got = {tuple(r) for r in df2.filter(~F.col("_cdc_deleted")).drop("_cdc_deleted").collect()}
+    want = {tuple(r) for r in t.read(spark).collect()}
+    assert got == want
+    assert got != replica  # the unwound batch-1 rows are gone
