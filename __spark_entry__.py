@@ -1540,14 +1540,20 @@ flat AS (
          unnest(range(0, len(lines))) AS pos,
          unnest(lines) AS line
   FROM seg),
-freq AS (SELECT line, count(*) AS cnt FROM flat GROUP BY line)
-SELECT f.doc_id,
-       CAST(count(*) AS BIGINT) AS n_lines,
-       CAST(sum(CASE WHEN q.cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       COALESCE(string_agg(CASE WHEN q.cnt <= 2 THEN f.line END, chr(10)
-                           ORDER BY f.pos), '') AS text_deduped
-FROM flat f JOIN freq q USING (line)
-GROUP BY f.doc_id
+freq AS (SELECT line, count(*) AS cnt FROM flat GROUP BY line),
+agg AS (
+  SELECT f.doc_id,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN q.cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         COALESCE(string_agg(CASE WHEN q.cnt <= 2 THEN f.line END, chr(10)
+                             ORDER BY f.pos), '') AS text_deduped
+  FROM flat f JOIN freq q USING (line)
+  GROUP BY f.doc_id)
+SELECT d.doc_id,
+       COALESCE(a.n_lines, 0) AS n_lines,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       COALESCE(a.text_deduped, '') AS text_deduped
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 

@@ -44,6 +44,8 @@ and nothing else reads it directly.
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import os
 import shutil
@@ -145,6 +147,22 @@ def _atomic_write(path: str, content: str) -> None:
         fh.flush()
         os.fsync(fh.fileno())
     os.rename(tmp, path)  # POSIX atomic — the commit point
+
+
+@contextlib.contextmanager
+def _file_lock(path: str):
+    """Advisory exclusive lock (flock) serializing read-modify-write of a
+    shared sidecar file (tags.json). Manifest commits don't need this —
+    they CAS via ``_exclusive_write`` — but tag mutations rewrite one
+    shared map, and last-writer-wins there can un-pin a snapshot that the
+    next expire/cleanup pass then permanently deletes."""
+    fd = os.open(path, os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 def _exclusive_write(path: str, content: str) -> None:
@@ -317,19 +335,29 @@ class LakeTable:
 
     def tag(self, name: str, version: int | None = None) -> int:
         """Create/overwrite a named ref pointing at ``version`` (default:
-        current). The target manifest must exist. Atomic rewrite —
-        readers never see a partial tags file."""
+        current). The target manifest must exist. The read-modify-write
+        is serialized under an flock (two concurrent taggers — or a
+        tagger racing a cron ``maintain()`` — must not lose a tag to
+        last-writer-wins: a lost tag un-pins a snapshot the next expiry
+        pass would permanently delete), and the rewrite itself is atomic
+        so readers never see a partial tags file."""
         v = self.current().version if version is None else int(version)
         self.snapshot(v)  # raises if the manifest doesn't exist
-        t = self.tags()
-        t[name] = v
-        _atomic_write(os.path.join(self.path, TAGS_FILE), json.dumps(t, indent=1))
+        with _file_lock(os.path.join(self.path, TAGS_FILE + ".lock")):
+            t = self.tags()
+            t[name] = v
+            _atomic_write(
+                os.path.join(self.path, TAGS_FILE), json.dumps(t, indent=1)
+            )
         return v
 
     def drop_tag(self, name: str) -> None:
-        t = self.tags()
-        t.pop(name, None)
-        _atomic_write(os.path.join(self.path, TAGS_FILE), json.dumps(t, indent=1))
+        with _file_lock(os.path.join(self.path, TAGS_FILE + ".lock")):
+            t = self.tags()
+            t.pop(name, None)
+            _atomic_write(
+                os.path.join(self.path, TAGS_FILE), json.dumps(t, indent=1)
+            )
 
     def resolve_ref(self, ref: int | str) -> int:
         """int → itself; str → the tagged version (KeyError if unknown)."""
@@ -351,7 +379,7 @@ class LakeTable:
         wholesale, not merged."""
         target = self.snapshot(self.resolve_ref(version_or_ref))
         cur = self.current()
-        return self.commit(
+        snap = self.commit(
             new_files=[],
             carried_files=list(target.files),
             schema=target.schema(),
@@ -365,6 +393,12 @@ class LakeTable:
             parent=cur,
             commit_type="rollback",
         )
+        # Rolling back across a rebucket() must also restore the live
+        # object's modulus (mirrors LakeTable.open's summary read) —
+        # otherwise bucket_expr/candidate_files_for_key silently compute
+        # against the wrong bucket count until the table is reopened.
+        self.num_buckets = target.summary.get("num_buckets", self.num_buckets)
+        return snap
 
     def maintain(
         self,

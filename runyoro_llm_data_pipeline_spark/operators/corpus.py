@@ -377,7 +377,11 @@ def mix_threshold_hex(rate: float) -> str:
         return "g"
     if rate <= 0.0:
         return "00000000"
-    return format(round(rate * 16**8), "08x")
+    v = round(rate * 16**8)
+    # rates in (1 - 2^-33, 1.0) round up to 2^32, whose 9-char hex
+    # '100000000' sorts BELOW almost every 8-char prefix — clamp to the
+    # keep-everything sentinel instead of silently inverting the rate.
+    return "g" if v >= 16**8 else format(v, "08x")
 
 
 def mix_sample(

@@ -403,9 +403,13 @@ def line_dedup(
     frequency table is at most one row per *distinct* line.
 
     Returns (doc_id, n_lines, n_kept, text_deduped) with the surviving
-    text joined by '\\n'. Documents whose every line was dropped come back
-    with ``text_deduped = ''`` (kept, not deleted — the admission decision
-    belongs to a downstream filter such as ``gopher_quality``).
+    text joined by '\\n' — a TOTAL map over ``docs``: documents whose
+    every line was dropped come back with ``text_deduped = ''``, and
+    empty/whitespace-only documents (zero line rows) come back as
+    ``(0, 0, '')`` rather than vanishing (kept, not deleted — the
+    admission decision belongs to a downstream filter such as
+    ``gopher_quality``). The totality join is against the 1-column
+    doc_id projection, so it prunes to the scan.
     """
     if lines is None:
         lines = doc_line_rows(docs, text_col, words_per_line)
@@ -419,12 +423,15 @@ def line_dedup(
             F.collect_list(F.when(keep, F.struct("pos", "line")))
         ).alias("kept"),
     )
-    return agg.select(
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
         "doc_id",
-        "n_lines",
-        "n_kept",
-        F.concat_ws(
-            "\n", F.transform(F.col("kept"), lambda x: x["line"])
+        F.coalesce("n_lines", F.lit(0).cast("long")).alias("n_lines"),
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce(
+            F.concat_ws(
+                "\n", F.transform(F.col("kept"), lambda x: x["line"])
+            ),
+            F.lit(""),
         ).alias("text_deduped"),
     )
 
