@@ -123,6 +123,81 @@ def q_cdc_latest_wins_salted(spark, sf_dir):
     )
 
 
+def _derived_cdc_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A deterministic transcript-shaped CDC log derived from the events
+    table (both engines can compute it, so the DuckDB oracle covers the
+    FULL streaming apply path): key = (user_id, event_id % 40), version
+    order = (ts, event_id), and 'error' events become deletes so
+    tombstone semantics are exercised under the oracle too."""
+    return _ev(spark, sf_dir).select(
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.col("event_id") % 40).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("ts").cast("timestamp").alias("event_ts"),
+        F.col("event_id").cast("long").alias("lsn"),
+        F.lit(0).cast("long").alias("batch_id"),
+    )
+
+
+_STREAM_LAKE_CACHE: dict[str, str] = {}
+
+
+def _stream_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final lake state produced by the REAL Structured Streaming path:
+    readStream over the derived change log → foreachBatch(apply_batch)
+    under Trigger.AvailableNow, multiple micro-batches forced via
+    maxFilesPerTrigger. Built once per corpus per process; the gate
+    queries read the committed table — so the one engine surface with no
+    batch twin (streaming checkpoint + epoch-gated exactly-once) sits
+    under the driver's DuckDB oracle."""
+    from runyoro_llm_data_pipeline_spark.lake.table import LakeTable
+    from runyoro_llm_data_pipeline_spark.streaming.ingest_stream import (
+        CdcStreamIngest,
+    )
+
+    path = _STREAM_LAKE_CACHE.get(sf_dir)
+    if path is None:
+        work = tempfile.mkdtemp(prefix="stream_gate_")
+        log_dir = os.path.join(work, "log")
+        # several source files → several AvailableNow epochs; merge
+        # converges regardless of how the file planner slices them
+        # (version resolution is by stored (event_ts, lsn), not arrival)
+        _derived_cdc_log(spark, sf_dir).repartition(8).write.parquet(log_dir)
+        path = os.path.join(work, "table")
+        ing = CdcStreamIngest(
+            path,
+            log_dir,
+            os.path.join(work, "ckpt"),
+            num_buckets=8,
+            normalize_text=False,
+            max_files_per_trigger=3,
+        )
+        results = ing.run_available_now(spark)
+        assert all(r["status"] in ("applied", "skipped") for r in results)
+        _STREAM_LAKE_CACHE[sf_dir] = path
+    return LakeTable.load(path).read(spark)
+
+
+def q_cdc_stream_apply(spark, sf_dir):
+    return _stream_lake(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "ts"
+    )
+
+
+def q_conversation_threads(spark, sf_dir):
+    from runyoro_llm_data_pipeline_spark.operators.sessions import (
+        conversation_threads,
+    )
+
+    return conversation_threads(_stream_lake(spark, sf_dir))
+
+
 def q_turn_enumeration(spark, sf_dir):
     return enumerate_turns(_ev(spark, sf_dir)).select(
         "event_id", "user_id", "turn_idx"
@@ -218,6 +293,39 @@ def _nd_index(spark, sf_dir):
         ).parquet(path)
         _ND_INDEX_CACHE[sf_dir] = path
     return spark.read.parquet(path)
+
+
+_IVF_INDEX_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _ivf_index(spark, sf_dir):
+    """Materialized IVF serving pair (codebook parquet, inverted-list
+    assignment parquet), built once per corpus per process. Queries then
+    pay only the K-row probe ranking + candidate-list rescore — never a
+    corpus-wide re-aggregation (the round-2/round-3 gate-wiring defect
+    class: an index family whose gate rebuilt its index per call)."""
+    paths = _IVF_INDEX_CACHE.get(sf_dir)
+    if paths is None:
+        root = tempfile.mkdtemp(prefix="ivf_idx_")
+        cpath = os.path.join(root, "centroids")
+        ipath = os.path.join(root, "index")
+        emb = _emb(spark, sf_dir)
+        cents = sim.centroids_by_label(emb)
+        cents.write.mode("overwrite").parquet(cpath)
+        sim.build_ivf_index(
+            emb, centroids=spark.read.parquet(cpath)
+        ).write.mode("overwrite").parquet(ipath)
+        paths = (cpath, ipath)
+        _IVF_INDEX_CACHE[sf_dir] = paths
+    return spark.read.parquet(paths[0]), spark.read.parquet(paths[1])
+
+
+def q_knn_ivf(spark, sf_dir):
+    cents, idx = _ivf_index(spark, sf_dir)
+    return sim.cosine_topk_ivf(
+        _emb(spark, sf_dir), query_vec_id=0, k=10,
+        centroids=cents, index=idx,
+    )
 
 
 def q_knn_lsh(spark, sf_dir):
@@ -590,6 +698,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # CDC core (W3 latest-wins, salted skew variant, ordered ops)
     "cdc_latest_wins": q_cdc_latest_wins,
     "cdc_latest_wins_salted": q_cdc_latest_wins_salted,
+    # the REAL streaming path (readStream → foreachBatch → lake commit)
+    # and its consumer-contract thread view, both under the batch oracle
+    "cdc_stream_apply": q_cdc_stream_apply,
+    "conversation_threads": q_conversation_threads,
     "turn_enumeration": q_turn_enumeration,
     "sessionization": q_sessionization,
     # relational (J1/J2 joins, decimal aggregates, A2/A4)
@@ -632,7 +744,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": lambda s, d: sim.embedding_near_dup_pairs(
         _emb(s, d), index=_nd_index(s, d)
     ),
-    "knn_ivf": lambda s, d: sim.cosine_topk_ivf(_emb(s, d), query_vec_id=0, k=10),
+    "knn_ivf": q_knn_ivf,
     "kmeans_assign": q_kmeans_assign,
     "label_centroids": sim.pairwise_label_centroids,
     # streaming-shaped windowed aggregate (batch parity form)
@@ -1359,6 +1471,44 @@ FROM top
 
 # salted variant shares its oracle with the unsalted collapse
 ORACLES["cdc_latest_wins_salted"] = ORACLES["cdc_latest_wins"]
+
+# the derived transcript-shaped CDC log both engines can compute: key =
+# (user_id, event_id % 40), version order = (ts, event_id), 'error' ⇒
+# delete. The Spark side replays it through the REAL streaming path
+# (readStream → foreachBatch → lake commits); the oracle states the
+# latest-wins-with-tombstones fixpoint that replay must converge to.
+_DERIVED_CDC = """
+ev AS (
+  SELECT CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 40 AS INT) AS turn_idx,
+         event_type AS role,
+         props AS text,
+         ts,
+         ts AS event_ts,
+         event_id AS lsn
+  FROM events),
+w AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY event_ts DESC, lsn DESC) AS rn
+      FROM ev),
+final AS (
+  SELECT conv_id, turn_idx, role, text, ts
+  FROM w WHERE rn = 1 AND op <> 'delete')
+"""
+
+ORACLES["cdc_stream_apply"] = f"""
+WITH {_DERIVED_CDC}
+SELECT conv_id, turn_idx, role, text, ts FROM final
+"""
+
+ORACLES["conversation_threads"] = f"""
+WITH {_DERIVED_CDC}
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS thread
+FROM final
+GROUP BY conv_id
+"""
 
 ORACLES["regime_range_join"] = """
 WITH b AS (

@@ -30,6 +30,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 HEADLINE = [
     "cdc_latest_wins",
     "cdc_latest_wins_salted",
+    "cdc_stream_apply",
+    "conversation_threads",
     "turn_enumeration",
     "sessionization",
     "q1_pricing_summary",
@@ -137,6 +139,10 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, int], dict[str, fl
     t0 = time.perf_counter()
     entrymod._lines(spark, SF_DIR).count()
     mat["lines_build_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    for part in entrymod._ivf_index(spark, SF_DIR):
+        part.count()
+    mat["ivf_index_build_sec"] = round(time.perf_counter() - t0, 3)
 
     qs = entrymod.queries()
     times: dict[str, float] = {}
@@ -178,6 +184,22 @@ def bench_cdc(spark, n_turns: int = 1_000_000) -> dict:
                 for d in os.listdir(log_dir)
             )
         )
+        # untimed warm-up ingest over a small separate log: the apply
+        # path's scan/normalize/collapse/commit codegen is JIT-compiled
+        # here instead of inside the timed window — a constant cost any
+        # long-running ingest job amortizes away, and the one the
+        # query-suite warm-up above does NOT cover (different plan).
+        warm_log = os.path.join(work, "warmlog")
+        warm, _ = gen_change_log(
+            spark, n_turns=max(n_turns // 10, 10_000),
+            n_convs=max(n_turns // 200, 10), n_batches=1,
+        )
+        write_batch_files(warm, warm_log)
+        CdcIngest(
+            os.path.join(work, "warm_table"), warm_log, num_buckets=32,
+            mode="mor", compact_max_files=8,
+        ).run(spark)
+        shutil.rmtree(os.path.join(work, "warm_table"), ignore_errors=True)
         ing = CdcIngest(
             os.path.join(work, "table"), log_dir, num_buckets=32,
             mode="mor", compact_max_files=8,
@@ -198,7 +220,24 @@ def bench_cdc(spark, n_turns: int = 1_000_000) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def host_probe() -> dict:
+    """Host-health snapshot recorded alongside the result so a degraded
+    record is attributable (BENCH.md §3b: suite totals swing ±25% with
+    host state on unchanged code). ``spin_ms`` times a fixed single-thread
+    CPython loop — steal/contention inflates it proportionally."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(5_000_000):
+        x += i & 7
+    assert x >= 0
+    spin_ms = round((time.perf_counter() - t0) * 1000, 1)
+    la1, la5, _ = os.getloadavg()
+    return {"load_1m": round(la1, 2), "load_5m": round(la5, 2),
+            "spin_ms": spin_ms}
+
+
 def main() -> None:
+    host_start = host_probe()
     spark = get_spark(
         app_name="bench",
         master=f"local[{CPUS}]",
@@ -209,23 +248,30 @@ def main() -> None:
     ann = bench_ann_index(spark)
     cdc = bench_cdc(spark)
     total = round(time.perf_counter() - t_all, 3)
+    host_end = host_probe()
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_plus_cdc_apply",
-                "value": total,
-                "unit": "sec",
-                "queries": qtimes,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cdc": cdc,
-                "ann_index": ann,
-                "materialize": mat,
-                "rows": qrows,
-                "cpus": CPUS,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_suite_plus_cdc_apply",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cdc": cdc,
+        "ann_index": ann,
+        "materialize": mat,
+        "cpus": CPUS,
+        "host": {"start": host_start, "end": host_end},
+    }
+    # full record (incl. the bulky per-query row counts) goes to a file;
+    # stdout gets ONE compact line (< 2 KB) so a tail-capped capture of
+    # this process's output still parses (the round-3 record was lost to
+    # exactly that truncation)
+    full = dict(record)
+    full["rows"] = qrows
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+    print(json.dumps(record, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -84,3 +84,37 @@ def session_stats(
             (_epoch(F.max(ts)) - _epoch(F.min(ts))).alias("span_seconds"),
         )
     )
+
+
+def conversation_threads(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Consumer-contract view: one row per conversation with its turns'
+    text concatenated in stable ``(conv_id, turn_idx)`` order — exactly
+    the shape the reference's training loop consumes (it reads the final
+    table ordered per source and writes line-joined text per conversation,
+    ``scripts/train_llm.py:154-187``). This is the read-side half of the
+    per-turn text-equality invariant: two engines whose threads compare
+    equal agree on every turn AND on the ordering.
+
+    ONE hash aggregate: collect (turn_idx, text) structs per conversation
+    and sort the collected array driver-free (``array_sort`` on struct
+    sorts by the leading field; turn_idx is unique per conversation after
+    latest-wins collapse, so the order is total). Per-group state is one
+    conversation's turns — bounded by transcript length, never by corpus
+    size — so a 10^10-row table threads with shuffle ∝ rows and no global
+    sort.
+    """
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col(idx_col), F.col(text_col)))
+    )
+    return turns.groupBy(F.col(conv_col)).agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.concat_ws(
+            sep, F.transform(ordered, lambda x: x[text_col])
+        ).alias("thread"),
+    )

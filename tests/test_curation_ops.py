@@ -234,10 +234,12 @@ def test_line_dedup_properties(shared_spark_holder, texts, max_freq):
 
     freq = Counter(ln for t in texts for ln in lines_of(t))
     got = {r["doc_id"]: r for r in line_dedup(d, words_per_line=k, max_line_freq=max_freq).collect()}
+    assert set(got) == set(range(len(texts)))  # total map over docs
     for i, t in enumerate(texts):
         lns = lines_of(t)
         if not lns:
-            assert i not in got  # no lines → no output row (like unnest)
+            # zero-line docs come back as (0, 0, ''), not omitted
+            assert tuple(got[i])[1:] == (0, 0, "")
             continue
         kept = [ln for ln in lns if freq[ln] <= max_freq]
         assert got[i]["n_lines"] == len(lns)

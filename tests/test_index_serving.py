@@ -1,0 +1,52 @@
+"""Index-family gate queries must serve from a materialized index.
+
+The same wiring defect shipped twice (knn_lsh in round 2, knn_ivf in
+round 3): the operator supports ``index=`` but the gate lambda didn't
+pass one, so every gate call silently re-aggregated the whole corpus to
+rebuild its index. This test makes the class unrepresentable: after one
+cache-warming call per index family, every index builder is patched to
+raise — a second gate call that still passes is provably candidate-only.
+"""
+
+import pytest
+
+import __spark_entry__ as entrymod
+import runyoro_llm_data_pipeline_spark.operators.similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+INDEX_FAMILY = ["knn_lsh", "knn_ivf", "embedding_near_dup"]
+
+
+@pytest.fixture(scope="module")
+def warmed(spark):
+    qs = entrymod.queries()
+    for name in INDEX_FAMILY:
+        assert qs[name](spark, SF).count() >= 0
+    return qs
+
+
+def test_index_gates_never_rebuild_at_query_time(spark, warmed, monkeypatch):
+    def _boom(*a, **k):
+        raise AssertionError(
+            "corpus-wide index build invoked at query time — the gate "
+            "must pass a materialized index"
+        )
+
+    # patch the module globals: the operators resolve these at call time,
+    # so both direct gate calls and internal index=None fallbacks hit it
+    monkeypatch.setattr(sim, "build_lsh_index", _boom)
+    monkeypatch.setattr(sim, "build_ivf_index", _boom)
+    monkeypatch.setattr(sim, "centroids_by_label", _boom)
+
+    for name in INDEX_FAMILY:
+        assert warmed[name](spark, SF).count() > 0
+
+
+def test_ivf_gate_matches_unindexed_result(spark, warmed):
+    served = sorted(map(tuple, warmed["knn_ivf"](spark, SF).collect()))
+    emb = entrymod._emb(spark, SF)
+    direct = sorted(
+        map(tuple, sim.cosine_topk_ivf(emb, query_vec_id=0, k=10).collect())
+    )
+    assert served == direct
