@@ -224,7 +224,13 @@ def main() -> None:
         "convergence_violations": violations,
         "rollback_rounds": rollback_rounds,
         "resync_rounds": resync_rounds,
-        "resyncs_match_rollbacks": set(resync_rounds) == set(rollback_rounds),
+        # round 0's resync is the consumer bootstrap (a never-committed
+        # feed always full-syncs first); every OTHER resync must be
+        # caused by a rollback inside the poll window — no spurious
+        # full-syncs, no missed rollbacks
+        "resyncs_match_rollbacks": (
+            set(resync_rounds) - {0} == set(rollback_rounds)
+        ),
         "max_files": max(x["files"] for x in out_rounds),
         "max_manifest_bytes": max(x["manifest_bytes"] for x in out_rounds),
         "max_snapshot_dir_entries": max(
