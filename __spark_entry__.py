@@ -736,6 +736,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _docs(s, d), shingles=_shingles(s, d)
     ),
     "simhash": lambda s, d: dd.simhash(_docs(s, d)),
+    "dedup_clusters": lambda s, d: dd.dedup_clusters(
+        _docs(s, d),
+        dd.ngram_jaccard_pairs(_docs(s, d), shingles=_shingles(s, d)),
+    ),
     # similarity search
     "knn_bruteforce": lambda s, d: sim.cosine_topk_bruteforce(
         _emb(s, d), query_vec_id=0, k=10
@@ -1137,6 +1141,40 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE 5 * n_common >= 1 * (sa.n_sh + sb.n_sh - n_common)
 """,
     "simhash": _simhash_sql(16),
+    # same pair predicate as ngram_jaccard_pairs, then the exact
+    # transitive closure (DuckDB recursive CTE) — min reachable node per
+    # component = the Spark operator's min-label fixpoint
+    "dedup_clusters": f"""
+WITH RECURSIVE {_SHINGLES},
+kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 256),
+shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shk GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE 5 * n_common >= 1 * (sa.n_sh + sb.n_sh - n_common)
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+         FROM reach GROUP BY u)
+SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c USING (doc_id)
+""",
     "knn_bruteforce": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

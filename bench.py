@@ -43,6 +43,7 @@ HEADLINE = [
     "minhash_lsh_candidates",
     "near_dup_verified",
     "simhash",
+    "dedup_clusters",
     "knn_bruteforce",
     "knn_lsh",
     "embedding_near_dup",

@@ -518,3 +518,96 @@ def exact_dedup_keep_best(
             F.count("*").alias("n_dups"),
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Distributed connected components over a near-dup pair graph:
+    min-label propagation with pointer jumping. Returns one row per node
+    that appears in any pair: ``(doc_id, cluster_id)`` where
+    ``cluster_id`` is the smallest node id in the component — the
+    canonical representative the curation pipelines (RefinedWeb, C4)
+    keep per duplicate cluster. Pair generators (``near_dup_verified``,
+    ``ngram_jaccard_pairs``, ``embedding near-dup``) emit edges; this
+    resolves them to clusters, which one union-find step
+    (``dedup_keep_canonical``) gets wrong whenever similarity chains:
+    a~b, b~c but the pair (a,c) was never emitted.
+
+    Why this shape at 100 TB: each iteration is (1) an equi-join of the
+    edge list against current labels + a min-aggregate (map-side
+    combined), and (2) one label-table self-join (pointer jump
+    ``l(v) <- l(l(v))``) — both shuffle O(|E|) / O(|V|) rows with no
+    driver-side graph state. Labels are monotone non-increasing and
+    bounded below by the component minimum, so the fixpoint is exact;
+    pointer jumping collapses label chains geometrically, so iterations
+    are O(log diameter) — a 1M-long path converges in ~20 rounds, and
+    real near-dup graphs (tiny clusters) converge in 2-3. Per iteration
+    the label frame is ``localCheckpoint``-ed: the convergence test needs
+    a materialization anyway, and truncating lineage keeps plan size
+    constant across iterations (on a cluster, swap for a reliable
+    ``checkpoint`` dir; the loop is otherwise unchanged). The driver sees
+    one scalar (changed-label count) per iteration, never the graph.
+    """
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # seed: min over the closed neighborhood (self ∪ neighbors)
+    lbl = edges.groupBy("u").agg(F.min("v").alias("l"))
+    lbl = lbl.select("u", F.least(F.col("u"), F.col("l")).alias("l")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(lbl.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("l").alias("nl"))
+        )
+        stepped = lbl.join(nbr, "u", "left").select(
+            "u", F.least(F.col("l"), F.coalesce(F.col("nl"), F.col("l"))).alias("l")
+        )
+        parent = stepped.select(
+            F.col("u").alias("__p"), F.col("l").alias("__pl")
+        )
+        jumped = (
+            stepped.join(parent, stepped["l"] == parent["__p"], "left")
+            .select("u", F.coalesce(F.col("__pl"), F.col("l")).alias("l"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.withColumnRenamed("l", "new_l")
+            .join(lbl, "u")
+            .filter(F.col("new_l") != F.col("l"))
+            .count()
+        )
+        lbl = jumped
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+            " — raise max_iter (components with diameter D need"
+            " ~log2(D)+2 iterations)"
+        )
+    return lbl.select(F.col("u").alias("doc_id"), F.col("l").alias("cluster_id"))
+
+
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Total cluster assignment over the corpus: every doc gets a
+    ``cluster_id`` (the min doc_id of its near-dup component; itself when
+    it has no near-dup). The downstream keep-policy is then one predicate
+    (``doc_id == cluster_id`` keeps the canonical member) or one
+    ``max_by`` per cluster for quality-weighted keeps — composable with
+    any pair generator. One broadcast-sized join against the component
+    table (|components| ≤ 2·|pairs| rows, tiny relative to the corpus)."""
+    comp = connected_components(pairs, max_iter=max_iter)
+    return docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )

@@ -274,3 +274,70 @@ def test_exact_dedup_keep_best_picks_longest(spark):
     # custom score: prefer HIGHER doc_id via score=doc_id
     out2 = exact_dedup_keep_best(d, score=F.col("doc_id")).collect()
     assert {r["kept_doc_id"] for r in out2} >= {2}
+
+
+# ---------------------------------------------------------------- clusters
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+
+def test_connected_components_chain_converges_to_min(spark):
+    from runyoro_llm_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # a 6-long chain (worst case for one-step union-find: a~b, b~c never
+    # emitted (a,c)) plus a separate 2-cycle and an isolated pair
+    pairs = _pairs(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (11, 10), (20, 21)],
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_dedup_clusters_total_map_and_singletons(spark):
+    from runyoro_llm_data_pipeline_spark.operators.dedup import dedup_clusters
+
+    docs = _docs(
+        spark, [(i, f"doc {i}") for i in [1, 2, 3, 7, 8, 9]]
+    )
+    pairs = _pairs(spark, [(2, 3), (8, 9)])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    # every doc present; singletons map to themselves
+    assert got == {1: 1, 2: 2, 3: 2, 7: 7, 8: 8, 9: 8}
+
+
+def test_connected_components_empty_pairs(spark):
+    from runyoro_llm_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = _pairs(spark, [])
+    assert connected_components(pairs).count() == 0
+
+
+def test_connected_components_long_path_log_iterations(spark):
+    """Pointer jumping must collapse a 64-node path in far fewer than 63
+    neighbor-min rounds — pin the O(log diameter) claim by capping
+    max_iter at 10 and requiring full convergence."""
+    from runyoro_llm_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = _pairs(spark, [(i, i + 1) for i in range(64)])
+    got = connected_components(pairs, max_iter=10).collect()
+    assert len(got) == 65
+    assert {r["cluster_id"] for r in got} == {0}
