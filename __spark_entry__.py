@@ -740,6 +740,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _docs(s, d),
         dd.ngram_jaccard_pairs(_docs(s, d), shingles=_shingles(s, d)),
     ),
+    "dedup_cluster_keep_best": lambda s, d: dd.dedup_cluster_keep_best(
+        _docs(s, d),
+        dd.ngram_jaccard_pairs(_docs(s, d), shingles=_shingles(s, d)),
+    ),
+    "top_shingles": lambda s, d: dd.top_shingles(
+        _docs(s, d), shingles=_shingles(s, d)
+    ),
+    # in-doc line dedup: the corpus has no repeated in-doc segments, so the
+    # gate input doubles each doc's line list (lines ++ reverse(lines)) —
+    # the dedup then has real work and the first-occurrence ordering is
+    # value-checked, not vacuously true
+    "dedup_lines_in_doc": lambda s, d: dd.dedup_lines_in_doc(
+        _docs(s, d).select(
+            "doc_id",
+            F.array_join(
+                F.concat(
+                    dd.doc_lines(_docs(s, d)),
+                    F.reverse(dd.doc_lines(_docs(s, d))),
+                ),
+                "\n",
+            ).alias("text"),
+        )
+    ),
+    "tfidf_top_terms": lambda s, d: tx.tfidf_top_terms(_docs(s, d)),
     # similarity search
     "knn_bruteforce": lambda s, d: sim.cosine_topk_bruteforce(
         _emb(s, d), query_vec_id=0, k=10
@@ -799,6 +823,39 @@ sh AS (
        UNNEST(CASE WHEN len(w) >= 3 THEN range(1, len(w) - 1)
                    ELSE [CAST(1 AS BIGINT)] END) AS u(i)
 )
+"""
+
+# Connected-components body shared by the dedup_clusters /
+# dedup_cluster_keep_best oracles: verified near-dup pairs (same predicate
+# as ngram_jaccard_pairs) -> undirected edges -> transitive closure
+# (recursive CTE) -> min reachable node per component.
+_CC_BODY = """
+kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 256),
+shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shk GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE 5 * n_common >= 1 * (sa.n_sh + sb.n_sh - n_common)
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+         FROM reach GROUP BY u)
 """
 
 
@@ -1145,35 +1202,82 @@ WHERE 5 * n_common >= 1 * (sa.n_sh + sb.n_sh - n_common)
     # transitive closure (DuckDB recursive CTE) — min reachable node per
     # component = the Spark operator's min-label fixpoint
     "dedup_clusters": f"""
-WITH RECURSIVE {_SHINGLES},
-kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 256),
-shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shk GROUP BY doc_id),
-common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-  HAVING COUNT(*) >= 2
-),
-pairs AS (
-  SELECT doc_a, doc_b FROM common
-  JOIN sizes sa ON sa.doc_id = doc_a
-  JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE 5 * n_common >= 1 * (sa.n_sh + sb.n_sh - n_common)
-),
-edges AS (
-  SELECT doc_a AS u, doc_b AS v FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs
-),
-reach(u, v) AS (
-  SELECT u, v FROM edges
-  UNION
-  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-),
-comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
-         FROM reach GROUP BY u)
+WITH RECURSIVE {_SHINGLES}, {_CC_BODY}
 SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
 FROM documents d LEFT JOIN comp c USING (doc_id)
+""",
+    "dedup_cluster_keep_best": f"""
+WITH RECURSIVE {_SHINGLES}, {_CC_BODY},
+cl AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+sc AS (
+  SELECT doc_id, CAST(len(string_split_regex(
+       regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+    AS DOUBLE) AS s
+  FROM documents
+),
+r AS (
+  SELECT cl.cluster_id, cl.doc_id,
+         row_number() OVER (PARTITION BY cl.cluster_id
+                            ORDER BY sc.s DESC, cl.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY cl.cluster_id) AS n
+  FROM cl JOIN sc USING (doc_id)
+)
+SELECT cluster_id, doc_id AS kept_doc_id, CAST(n AS BIGINT) AS n_members
+FROM r WHERE rn = 1
+""",
+    "top_shingles": f"""
+WITH {_SHINGLES}
+SELECT shingle, COUNT(*) AS n_docs
+FROM sh GROUP BY shingle
+ORDER BY n_docs DESC, shingle ASC
+LIMIT 20
+""",
+    # mirrors the gate input construction: 8-token segmentation (the same
+    # fixed-width line derivation as line_dedup), doubled lines, then
+    # first-occurrence dedup + ordered reassembly
+    "dedup_lines_in_doc": f"""
+WITH toks AS ({_TOKS}),
+seg AS (
+  SELECT doc_id,
+         CASE WHEN len(w) = 1 AND w[1] = '' THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(range(0, CAST(ceil(len(w) / 8.0) AS INT)),
+                     i -> array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' '))
+         END AS lines
+  FROM toks),
+txt AS (SELECT doc_id,
+               array_to_string(list_concat(lines, list_reverse(lines)),
+                               chr(10)) AS text
+        FROM seg),
+sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM txt),
+fl AS (SELECT doc_id, unnest(ls) AS line,
+              unnest(range(1, len(ls) + 1)) AS i
+       FROM sp),
+fo AS (SELECT doc_id, line, min(i) AS fi FROM fl GROUP BY doc_id, line),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(line, chr(10) ORDER BY fi) AS text_deduped
+        FROM fo GROUP BY doc_id)
+SELECT s.doc_id, CAST(len(s.ls) AS BIGINT) AS n_lines,
+       CAST(a.n_kept AS BIGINT) AS n_kept,
+       COALESCE(a.text_deduped, '') AS text_deduped
+FROM sp s JOIN agg a USING (doc_id)
+""",
+    "tfidf_top_terms": f"""
+WITH toks AS ({_TOKS}),
+terms AS (SELECT doc_id, unnest(w) AS term FROM toks),
+t2 AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t2 GROUP BY doc_id, term),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             round(tf.tf * ln(n.nd / dfq.df), 6) AS score
+      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term ASC) AS rank
+      FROM s)
+SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= 3
 """,
     "knn_bruteforce": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -72,6 +72,10 @@ HEADLINE = [
     "decontaminate",
     "dedup_keep_best",
     "pack_windows",
+    "dedup_cluster_keep_best",
+    "top_shingles",
+    "dedup_lines_in_doc",
+    "tfidf_top_terms",
 ]
 
 

@@ -611,3 +611,79 @@ def dedup_clusters(
         "doc_id",
         F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
     )
+
+
+def dedup_cluster_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    score=None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Quality-weighted cluster resolution: resolve near-dup pairs to
+    connected components, then keep per cluster the member maximizing
+    ``score`` (default token count; ties → smaller doc_id, so the pick is
+    total-ordered). The cluster analogue of ``exact_dedup_keep_best`` —
+    near-dup groups usually contain one complete copy and several
+    truncated/boilerplate-wrapped ones, and "keep the canonical min-id"
+    throws away the best copy whenever it isn't the smallest id.
+
+    Cost on top of ``dedup_clusters``: one map-side-combinable ``max_by``
+    aggregate keyed by cluster_id — shuffle ∝ docs of a 3-col projection,
+    no window, no sort."""
+    from runyoro_llm_data_pipeline_spark.operators.textstats import token_count
+
+    s = score if score is not None else token_count(F.col(text_col))
+    cl = dedup_clusters(docs, pairs, max_iter=max_iter)
+    scored = docs.select(
+        "doc_id", s.cast("double").alias("__s")
+    ).join(cl, "doc_id")
+    ordv = F.struct(F.col("__s").alias("s"), (-F.col("doc_id")).alias("tie"))
+    return scored.groupBy("cluster_id").agg(
+        F.max_by("doc_id", ordv).alias("kept_doc_id"),
+        F.count("*").alias("n_members"),
+    )
+
+
+def top_shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    k_top: int = 20,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus-wide heavy-hitter shingles by document frequency — the
+    boilerplate probe (cookie banners, nav chrome, license headers show up
+    here first; feed the result into line/shingle stop-lists). One
+    map-side-combined hash aggregate over the shared shingle table, then a
+    top-k: TakeOrderedAndProject, never a global sort. Ties broken by
+    shingle text so the result is total-ordered and value-verifiable."""
+    sh = _sh_or(shingles, docs, text_col, SHINGLE_K)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("shingle"))
+        .limit(k_top)
+    )
+
+
+def dedup_lines_in_doc(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repeated-line removal (keep the FIRST occurrence of
+    each distinct line, preserve original order) — the intra-doc half of
+    C4-style cleaning, complementing the cross-corpus ``line_dedup``.
+    Markdown boilerplate, repeated nav rows, and chat-log echo lines
+    collapse here without touching any other document.
+
+    Zero shuffle by construction: ``split`` → ``array_distinct`` (which
+    keeps first-occurrence order) → ``array_join`` is a single narrow
+    projection that pipelines inside the parquet scan stage — per-doc
+    state only, so it holds at any corpus size. Total map over docs:
+    empty text splits to [''] and passes through unchanged
+    (n_lines = n_kept = 1)."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.array_distinct(lines)
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, "\n").alias("text_deduped"),
+    )

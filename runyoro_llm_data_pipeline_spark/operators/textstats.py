@@ -16,7 +16,7 @@ results.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # Stopword set used by the quality score and the language-ID heuristic.
@@ -225,4 +225,63 @@ def ngram_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(n > 0, F.round(F.lit(1.0) - nd.cast("double") / n, 6))
         .otherwise(F.lit(0.0))
         .alias("dup_frac"),
+    )
+
+
+def doc_term_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, term, tf) rows — the inverted-index build shared by
+    tf-idf (and any downstream BM25-style scorer). Like ``doc_shingles``,
+    materialize ONCE at scale and pass via ``tfidf_top_terms(..., tf=...)``:
+    the declarative plan otherwise tokenizes and counts twice (once per
+    side of the tf ⋈ df join — Catalyst re-derives rather than reuses the
+    shared subtree)."""
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    k_top: int = 3,
+    n_docs: int | None = None,
+    tf: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document top-k terms by tf-idf — the keyword-extraction /
+    corpus-drift probe over the reference's corpus iteration surface
+    (``scripts/tokenizer_utils.py:9-18``). Distributed shape: one
+    map-side-combined (doc_id, term) count (shuffle ∝ distinct doc-term
+    pairs, the classic inverted-index build), one tiny document-frequency
+    aggregate over that result, a term-keyed join back, and a per-doc
+    ``row_number <= k`` window that Spark 4 rewrites to WindowGroupLimit —
+    each shuffle partition keeps only its local top-k per doc before the
+    exchange, so the window never sorts the full posting list.
+
+    The corpus size ``n_docs`` is frozen as a plan literal (one scalar
+    ``count()`` when not supplied) — idf is then a deterministic function
+    of the input snapshot, not of partitioning. Scores are rounded to 6 dp
+    and ranked AFTER rounding with a total (score DESC, term ASC) order,
+    so the output is engine-portable: a 1-ulp ``ln`` difference between
+    libm implementations cannot flip a rank. Empty documents contribute no
+    terms and are absent from the output.
+    """
+    if tf is None:
+        tf = doc_term_counts(docs, text_col)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = int(n_docs) if n_docs is not None else docs.count()
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(nd)) / F.col("df")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= int(k_top)
     )

@@ -341,3 +341,59 @@ def test_connected_components_long_path_log_iterations(spark):
     got = connected_components(pairs, max_iter=10).collect()
     assert len(got) == 65
     assert {r["cluster_id"] for r in got} == {0}
+
+
+def test_dedup_lines_in_doc_keeps_first_occurrence_order(spark):
+    from runyoro_llm_data_pipeline_spark.operators.dedup import (
+        dedup_lines_in_doc,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a\nb\na\nc\nb\na"),   # dups interleaved
+            (1, "x\nx\nx"),             # all-same
+            (2, ""),                    # empty text -> [''] passthrough
+            (3, "only line"),           # no newline at all
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup_lines_in_doc(docs).collect()}
+    assert got[0]["text_deduped"] == "a\nb\nc"
+    assert (got[0]["n_lines"], got[0]["n_kept"]) == (6, 3)
+    assert got[1]["text_deduped"] == "x"
+    assert (got[2]["n_lines"], got[2]["n_kept"]) == (1, 1)
+    assert got[2]["text_deduped"] == ""
+    assert got[3]["text_deduped"] == "only line"
+    assert len(got) == 4  # total map over docs
+
+
+def test_tfidf_top_terms_ranking_and_determinism(spark):
+    from runyoro_llm_data_pipeline_spark.operators.textstats import (
+        tfidf_top_terms,
+    )
+
+    # 4 docs; "common" appears in every doc (idf = ln(1) = 0 -> never a
+    # top term over rarer ones); "rare" only in doc 0.
+    docs = spark.createDataFrame(
+        [
+            (0, "common rare rare other"),
+            (1, "common other other"),
+            (2, "common zebra"),
+            (3, "common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k_top=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    top0 = sorted(by_doc[0], key=lambda r: r["rank"])
+    assert top0[0]["term"] == "rare" and top0[0]["tf"] == 2
+    # df("common") == 4 == n_docs -> score exactly 0.0, ranked below any
+    # positive-idf term
+    assert all(r["term"] != "common" or r["score"] == 0.0 for r in out)
+    # doc 3 has only the zero-idf term; it still appears (rank 1, score 0)
+    assert by_doc[3][0]["term"] == "common"
+    # deterministic: rerun gives identical rows
+    again = tfidf_top_terms(docs, k_top=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
