@@ -148,6 +148,9 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, int], dict[str, fl
     for part in entrymod._ivf_index(spark, SF_DIR):
         part.count()
     mat["ivf_index_build_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    entrymod._clusters(spark, SF_DIR).count()
+    mat["clusters_build_sec"] = round(time.perf_counter() - t0, 3)
 
     qs = entrymod.queries()
     times: dict[str, float] = {}

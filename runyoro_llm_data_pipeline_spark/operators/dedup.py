@@ -615,10 +615,11 @@ def dedup_clusters(
 
 def dedup_cluster_keep_best(
     docs: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None = None,
     text_col: str = "text",
     score=None,
     max_iter: int = 50,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Quality-weighted cluster resolution: resolve near-dup pairs to
     connected components, then keep per cluster the member maximizing
@@ -630,11 +631,18 @@ def dedup_cluster_keep_best(
 
     Cost on top of ``dedup_clusters``: one map-side-combinable ``max_by``
     aggregate keyed by cluster_id — shuffle ∝ docs of a 3-col projection,
-    no window, no sort."""
+    no window, no sort. Pass a materialized ``clusters=`` map (the
+    ``dedup_clusters`` output, which production stores as a table) to skip
+    re-resolving components — the same serve-from-the-index economics as
+    ``shingles=``/``index=`` elsewhere."""
     from runyoro_llm_data_pipeline_spark.operators.textstats import token_count
 
+    if clusters is None:
+        if pairs is None:
+            raise ValueError("need either pairs= or a clusters= map")
+        clusters = dedup_clusters(docs, pairs, max_iter=max_iter)
     s = score if score is not None else token_count(F.col(text_col))
-    cl = dedup_clusters(docs, pairs, max_iter=max_iter)
+    cl = clusters
     scored = docs.select(
         "doc_id", s.cast("double").alias("__s")
     ).join(cl, "doc_id")

@@ -11,11 +11,20 @@ raise — a second gate call that still passes is provably candidate-only.
 import pytest
 
 import __spark_entry__ as entrymod
+import runyoro_llm_data_pipeline_spark.operators.dedup as dd
 import runyoro_llm_data_pipeline_spark.operators.similarity as sim
 
 SF = "/root/testdata/sf0.001"
 
-INDEX_FAMILY = ["knn_lsh", "knn_ivf", "embedding_near_dup"]
+INDEX_FAMILY = [
+    "knn_lsh",
+    "knn_ivf",
+    "embedding_near_dup",
+    # the cluster map is an index-like artifact too: resolved once,
+    # stored, served — never re-resolved at query time
+    "dedup_clusters",
+    "dedup_cluster_keep_best",
+]
 
 
 @pytest.fixture(scope="module")
@@ -38,6 +47,8 @@ def test_index_gates_never_rebuild_at_query_time(spark, warmed, monkeypatch):
     monkeypatch.setattr(sim, "build_lsh_index", _boom)
     monkeypatch.setattr(sim, "build_ivf_index", _boom)
     monkeypatch.setattr(sim, "centroids_by_label", _boom)
+    monkeypatch.setattr(dd, "dedup_clusters", _boom)
+    monkeypatch.setattr(dd, "connected_components", _boom)
 
     for name in INDEX_FAMILY:
         assert warmed[name](spark, SF).count() > 0
