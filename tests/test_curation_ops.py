@@ -397,3 +397,53 @@ def test_tfidf_top_terms_ranking_and_determinism(spark):
     # deterministic: rerun gives identical rows
     again = tfidf_top_terms(docs, k_top=2).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+_line_texts = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", ""]), min_size=0, max_size=8
+    ).map("\n".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_line_texts)
+def test_dedup_lines_in_doc_properties(shared_spark_holder, texts):
+    """Totality, idempotence, and first-occurrence semantics vs a Python
+    reference over arbitrary newline-joined docs (incl. empty lines and
+    empty docs)."""
+    from runyoro_llm_data_pipeline_spark.operators.dedup import (
+        dedup_lines_in_doc,
+    )
+
+    spark = shared_spark_holder
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in dedup_lines_in_doc(docs).collect()}
+    assert set(got) == set(range(len(texts)))  # total map
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        seen, kept = set(), []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        r = got[i]
+        assert r["n_lines"] == len(lines)
+        assert r["n_kept"] == len(kept)
+        assert r["text_deduped"] == "\n".join(kept)
+    # idempotence: dedup of the deduped text changes nothing
+    again = dedup_lines_in_doc(
+        docs.sparkSession.createDataFrame(
+            [(k, v["text_deduped"]) for k, v in got.items()],
+            "doc_id long, text string",
+        )
+    ).collect()
+    assert all(r["n_lines"] == r["n_kept"] for r in again)
