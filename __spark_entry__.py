@@ -295,6 +295,33 @@ def _nd_index(spark, sf_dir):
     return spark.read.parquet(path)
 
 
+_BAND_INDEX_CACHE: dict[str, str] = {}
+
+# the incremental-dedup split: docs with doc_id % 5 == 0 play the incoming
+# batch; the rest are the stored historical corpus the index covers
+_NEW_DOC_MOD = 5
+
+
+def _band_index(spark, sf_dir):
+    """Materialized minhash band index (build_minhash_band_index → parquet)
+    over the HISTORICAL slice of the corpus — the stored artifact
+    incremental_near_dup probes; built once per corpus per process."""
+    path = _BAND_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix="band_idx_"), "idx")
+        old = _docs(spark, sf_dir).filter(
+            F.col("doc_id") % _NEW_DOC_MOD != 0
+        )
+        old_sh = _shingles(spark, sf_dir).filter(
+            F.col("doc_id") % _NEW_DOC_MOD != 0
+        )
+        dd.build_minhash_band_index(old, shingles=old_sh).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _BAND_INDEX_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
+
+
 _CLUSTERS_CACHE: dict[str, str] = {}
 
 
@@ -783,6 +810,36 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         )
     ),
     "tfidf_top_terms": lambda s, d: tx.tfidf_top_terms(_docs(s, d)),
+    "bm25_search": lambda s, d: tx.bm25_search(
+        _docs(s, d), "table hash merge batch"
+    ),
+    # incoming batch (doc_id % 5 == 0) deduped against the stored band
+    # index of the rest of the corpus — query-time cost ∝ batch only
+    "incremental_near_dup": lambda s, d: dd.incremental_near_dup(
+        _docs(s, d).filter(F.col("doc_id") % _NEW_DOC_MOD == 0),
+        index=_band_index(s, d),
+        old_shingles=_shingles(s, d).filter(
+            F.col("doc_id") % _NEW_DOC_MOD != 0
+        ),
+        shingles=_shingles(s, d).filter(F.col("doc_id") % _NEW_DOC_MOD == 0),
+    ),
+    # the composed nightly admission verdict: quality ∧ exact-canonical ∧
+    # ¬near-dup-of-corpus, per-rule booleans kept for attributability
+    "curation_admit": lambda s, d: cp.curation_admit(
+        _docs(s, d),
+        quality=tx.gopher_quality(_docs(s, d)),
+        exact_groups=dd.exact_dedup(_docs(s, d)),
+        near_dups=dd.incremental_near_dup(
+            _docs(s, d).filter(F.col("doc_id") % _NEW_DOC_MOD == 0),
+            index=_band_index(s, d),
+            old_shingles=_shingles(s, d).filter(
+                F.col("doc_id") % _NEW_DOC_MOD != 0
+            ),
+            shingles=_shingles(s, d).filter(
+                F.col("doc_id") % _NEW_DOC_MOD == 0
+            ),
+        ),
+    ),
     # similarity search
     "knn_bruteforce": lambda s, d: sim.cosine_topk_bruteforce(
         _emb(s, d), query_vec_id=0, k=10
@@ -1297,6 +1354,149 @@ r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
                                    ORDER BY score DESC, term ASC) AS rank
       FROM s)
 SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= 3
+""",
+    # constants written so both engines parse the identical doubles
+    # (1.2+1.0 == 2.2 and 1.0-0.75 == 0.25 exactly in IEEE754)
+    "bm25_search": f"""
+WITH toks AS ({_TOKS}),
+base AS (SELECT doc_id,
+                CASE WHEN len(w) = 1 AND w[1] = '' THEN 0
+                     ELSE len(w) END AS dl
+         FROM toks),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+                 avg(CAST(dl AS BIGINT)) AS avgdl
+          FROM base),
+t2 AS (SELECT doc_id, unnest(w) AS term FROM toks),
+tfq AS (SELECT doc_id, term, COUNT(*) AS tf FROM t2
+        WHERE term IN ('batch', 'hash', 'merge', 'table')
+        GROUP BY doc_id, term),
+dfq AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY term),
+s AS (
+  SELECT tfq.doc_id,
+         ln((stats.nd - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+           * (tfq.tf * 2.2)
+           / (tfq.tf + 1.2 * (0.25 + 0.75 * base.dl / stats.avgdl)) AS c
+  FROM tfq
+  JOIN dfq USING (term)
+  JOIN base ON base.doc_id = tfq.doc_id
+  CROSS JOIN stats
+),
+agg AS (SELECT doc_id, round(sum(c), 6) AS score, COUNT(*) AS n_terms
+        FROM s GROUP BY doc_id)
+SELECT doc_id, score, n_terms FROM agg
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+    # same minhash/banding CTEs as the near_dup oracle, with the band-key
+    # cap applied to the OLD (indexed) side only — mirroring the Spark
+    # build_minhash_band_index + probe split
+    "incremental_near_dup": f"""
+WITH {_SHINGLES},
+mh AS (
+  SELECT doc_id, u.p AS p,
+         MIN(md5(CAST(u.p AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM sh, UNNEST(range(0, 12)) AS u(p)
+  GROUP BY doc_id, u.p
+),
+band0 AS (
+  SELECT doc_id, CAST(p // 2 AS INTEGER) AS band,
+         string_agg(minhash, '' ORDER BY minhash) AS band_key
+  FROM mh GROUP BY doc_id, CAST(p // 2 AS INTEGER)
+),
+oldband AS (SELECT * FROM band0 WHERE doc_id % 5 <> 0),
+bkeep AS (SELECT band, band_key FROM oldband GROUP BY band, band_key
+          HAVING COUNT(*) <= 64),
+idx AS (SELECT oldband.* FROM oldband JOIN bkeep USING (band, band_key)),
+newband AS (SELECT * FROM band0 WHERE doc_id % 5 = 0),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc_id, o.doc_id AS dup_of
+  FROM newband n JOIN idx o ON n.band = o.band AND n.band_key = o.band_key
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.new_doc_id, c.dup_of, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.new_doc_id
+  JOIN sh y ON y.doc_id = c.dup_of AND y.shingle = x.shingle
+  GROUP BY c.new_doc_id, c.dup_of
+)
+SELECT new_doc_id, dup_of, n_common, sn.n_sh AS n_new, so.n_sh AS n_old
+FROM common
+JOIN sizes sn ON sn.doc_id = new_doc_id
+JOIN sizes so ON so.doc_id = dup_of
+WHERE 5 * n_common >= 1 * (sn.n_sh + so.n_sh - n_common)
+""",
+    # composition of the proven gopher / exact-dedup / incremental-near-dup
+    # CTE chains into the single admission verdict
+    "curation_admit": f"""
+WITH {_SHINGLES},
+feat AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+           AS n_alpha,
+         CAST(len(list_filter(w, x -> list_contains(
+              ['the','a','and','of','to','in','is','it'], lower(x)))) AS BIGINT)
+           AS n_stopwords,
+         list_sum(list_transform(w, x -> length(x))) AS sum_len
+  FROM toks),
+q AS (
+  SELECT doc_id,
+         ((n_words >= 5 AND n_words <= 100000)
+          AND (CASE WHEN n_words > 0
+               THEN round(CAST(sum_len AS DOUBLE) / n_words, 6) ELSE 0.0 END
+                 BETWEEN 2.0 AND 12.0)
+          AND (CASE WHEN n_words > 0
+               THEN round(CAST(n_alpha AS DOUBLE) / n_words, 6) ELSE 0.0 END
+                 >= 0.8)
+          AND n_stopwords >= 2) AS passes
+  FROM feat),
+ch AS (SELECT doc_id, md5(text) AS h FROM documents),
+cg AS (SELECT h, MIN(doc_id) AS canonical FROM ch GROUP BY h),
+mh AS (
+  SELECT doc_id, u.p AS p,
+         MIN(md5(CAST(u.p AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM sh, UNNEST(range(0, 12)) AS u(p)
+  GROUP BY doc_id, u.p
+),
+band0 AS (
+  SELECT doc_id, CAST(p // 2 AS INTEGER) AS band,
+         string_agg(minhash, '' ORDER BY minhash) AS band_key
+  FROM mh GROUP BY doc_id, CAST(p // 2 AS INTEGER)
+),
+oldband AS (SELECT * FROM band0 WHERE doc_id % 5 <> 0),
+bkeep AS (SELECT band, band_key FROM oldband GROUP BY band, band_key
+          HAVING COUNT(*) <= 64),
+idx AS (SELECT oldband.* FROM oldband JOIN bkeep USING (band, band_key)),
+newband AS (SELECT * FROM band0 WHERE doc_id % 5 = 0),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc_id, o.doc_id AS dup_of
+  FROM newband n JOIN idx o ON n.band = o.band AND n.band_key = o.band_key
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.new_doc_id, c.dup_of, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.new_doc_id
+  JOIN sh y ON y.doc_id = c.dup_of AND y.shingle = x.shingle
+  GROUP BY c.new_doc_id, c.dup_of
+),
+ndset AS (
+  SELECT DISTINCT new_doc_id AS doc_id
+  FROM common
+  JOIN sizes sn ON sn.doc_id = new_doc_id
+  JOIN sizes so ON so.doc_id = dup_of
+  WHERE 5 * n_common >= 1 * (sn.n_sh + so.n_sh - n_common)
+)
+SELECT d.doc_id, q.passes,
+       (d.doc_id = cg.canonical) AS is_canonical,
+       (nd.doc_id IS NOT NULL) AS is_near_dup_of_corpus,
+       (q.passes AND d.doc_id = cg.canonical AND nd.doc_id IS NULL)
+         AS admitted
+FROM documents d
+JOIN q USING (doc_id)
+JOIN ch ON ch.doc_id = d.doc_id
+JOIN cg ON cg.h = ch.h
+LEFT JOIN ndset nd ON nd.doc_id = d.doc_id
 """,
     "knn_bruteforce": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

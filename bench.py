@@ -76,6 +76,9 @@ HEADLINE = [
     "top_shingles",
     "dedup_lines_in_doc",
     "tfidf_top_terms",
+    "bm25_search",
+    "incremental_near_dup",
+    "curation_admit",
 ]
 
 
@@ -151,6 +154,9 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, int], dict[str, fl
     t0 = time.perf_counter()
     entrymod._clusters(spark, SF_DIR).count()
     mat["clusters_build_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    entrymod._band_index(spark, SF_DIR).count()
+    mat["band_index_build_sec"] = round(time.perf_counter() - t0, 3)
 
     qs = entrymod.queries()
     times: dict[str, float] = {}

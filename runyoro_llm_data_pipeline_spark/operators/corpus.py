@@ -465,3 +465,53 @@ def pack_windows(
             F.sum("n_from_doc").cast("long").alias("n_tokens"),
         )
     )
+
+
+def curation_admit(
+    docs: DataFrame,
+    quality: DataFrame,
+    exact_groups: DataFrame,
+    near_dups: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """The composed nightly admission decision a training-data pipeline
+    actually ships: a document is admitted iff it (a) passes the quality
+    gate, (b) is the canonical copy of its exact-duplicate group, and
+    (c) is not a verified near-duplicate of the stored corpus. Pure
+    column algebra over the three component outputs (``gopher_quality``,
+    ``exact_dedup``, ``incremental_near_dup``) — three equi-joins on
+    doc_id/md5, no new aggregates, so the composition adds nothing to the
+    components' scale profile. Emits the per-rule booleans alongside the
+    verdict so rejected docs are attributable (the quarantine-sink
+    discipline applied to curation).
+    """
+    h = F.md5(F.col(text_col))
+    canon = (
+        docs.select("doc_id", h.alias("text_md5"))
+        .join(exact_groups.select("text_md5", "canonical_doc_id"), "text_md5")
+        .select(
+            "doc_id",
+            (F.col("doc_id") == F.col("canonical_doc_id")).alias(
+                "is_canonical"
+            ),
+        )
+    )
+    nd = (
+        near_dups.select(F.col("new_doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("__nd", F.lit(True))
+    )
+    out = (
+        docs.select("doc_id")
+        .join(quality.select("doc_id", "passes"), "doc_id")
+        .join(canon, "doc_id")
+        .join(nd, "doc_id", "left")
+    )
+    is_nd = F.coalesce(F.col("__nd"), F.lit(False))
+    return out.select(
+        "doc_id",
+        "passes",
+        "is_canonical",
+        is_nd.alias("is_near_dup_of_corpus"),
+        (F.col("passes") & F.col("is_canonical") & ~is_nd).alias("admitted"),
+    )

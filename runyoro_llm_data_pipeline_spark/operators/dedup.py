@@ -196,6 +196,38 @@ def minhash_signatures(
     )
 
 
+def _banded_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_perm: int = 12,
+    band_size: int = 2,
+    k: int = SHINGLE_K,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, band, band_key) rows: the LSH banding of the minhash
+    signature, shared by the self-join candidate generator and the stored
+    band index. Band key = concatenated sorted minhashes of the band,
+    built straight off the wide signature row (one projection)."""
+    wide = minhash_signatures_wide(docs, text_col, n_perm, k, shingles=shingles)
+    n_bands = n_perm // band_size
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                "",
+                F.array_sort(
+                    F.array(
+                        *[F.col(f"mh{band_size * j + r}") for r in range(band_size)]
+                    )
+                ),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    return wide.select(
+        "doc_id", F.posexplode(band_arr).alias("band", "band_key")
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     text_col: str = "text",
@@ -221,23 +253,8 @@ def minhash_lsh_candidates(
     O(bucket²); true near-dup pairs lost to a hot band are still found
     through their other ``n_perm/band_size - 1`` bands — exactly why
     multi-band LSH tolerates stop-bands. Mirrored in the oracle."""
-    wide = minhash_signatures_wide(docs, text_col, n_perm, k, shingles=shingles)
-    n_bands = n_perm // band_size
-    band_arr = F.array(
-        *[
-            F.concat_ws(
-                "",
-                F.array_sort(
-                    F.array(
-                        *[F.col(f"mh{band_size * j + r}") for r in range(band_size)]
-                    )
-                ),
-            )
-            for j in range(n_bands)
-        ]
-    )
-    banded = wide.select(
-        "doc_id", F.posexplode(band_arr).alias("band", "band_key")
+    banded = _banded_signatures(
+        docs, text_col, n_perm, band_size, k, shingles=shingles
     )
     if max_docs_per_band_key is not None:
         # window count, not groupBy+join — see ngram_jaccard_pairs
@@ -694,4 +711,105 @@ def dedup_lines_in_doc(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(lines).cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_kept"),
         F.array_join(kept, "\n").alias("text_deduped"),
+    )
+
+
+def build_minhash_band_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_perm: int = 12,
+    band_size: int = 2,
+    k: int = SHINGLE_K,
+    max_docs_per_band_key: int = MAX_DOCS_PER_BAND_KEY,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """The stored text-dedup index: (doc_id, band, band_key) over a corpus
+    snapshot, hot band keys (> ``max_docs_per_band_key`` members) dropped
+    at build time so no future probe can go O(bucket²). Production writes
+    this next to the corpus (as `_lsh_index` does for embeddings) and
+    refreshes it incrementally — `incremental_near_dup` then dedups each
+    incoming batch against it without ever re-hashing the corpus."""
+    banded = _banded_signatures(
+        docs, text_col, n_perm, band_size, k, shingles=shingles
+    )
+    if max_docs_per_band_key is not None:
+        banded = (
+            banded.withColumn(
+                "__n",
+                F.count("*").over(Window.partitionBy("band", "band_key")),
+            )
+            .filter(F.col("__n") <= max_docs_per_band_key)
+            .drop("__n")
+        )
+    return banded
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    old_shingles: DataFrame,
+    text_col: str = "text",
+    n_perm: int = 12,
+    band_size: int = 2,
+    k: int = SHINGLE_K,
+    jaccard_num: int = 1,
+    jaccard_den: int = 5,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup admission for an INCOMING batch against a STORED corpus —
+    the production shape of dedup at 100 TB, where re-running the
+    corpus-wide self-join per nightly batch is not an option. Cost model:
+
+    1. minhash+banding for the NEW docs only (∝ batch size);
+    2. one equi-join of the new band keys against the stored
+       ``build_minhash_band_index`` table (the historical corpus is
+       touched only through index-bucket lookups — with the index
+       bucketed/sorted by band_key this is a pruned probe, and the
+       batch side is broadcastable);
+    3. exact shingle-Jaccard verification of ONLY the candidate pairs,
+       pulling old-side shingles for candidate docs alone.
+
+    Returns verified (new_doc_id, dup_of, n_common, n_new, n_old) pairs —
+    ``dup_of`` is the historical duplicate; a downstream anti-join of the
+    batch against ``select(new_doc_id)`` is the admission filter. New docs
+    may match several historical docs (all pairs reported).
+    """
+    new_sh = _sh_or(shingles, new_docs, text_col, k)
+    new_banded = _banded_signatures(
+        new_docs, text_col, n_perm, band_size, k, shingles=new_sh
+    )
+    idx = index.select(
+        F.col("doc_id").alias("dup_of"), "band", "band_key"
+    )
+    cands = (
+        new_banded.select(
+            F.col("doc_id").alias("new_doc_id"), "band", "band_key"
+        )
+        .join(idx, ["band", "band_key"])
+        .select("new_doc_id", "dup_of")
+        .distinct()
+    )
+    sizes_new = new_sh.groupBy("doc_id").agg(F.count("*").alias("n_new"))
+    sizes_old = old_shingles.groupBy("doc_id").agg(
+        F.count("*").alias("n_old")
+    )
+    xa = new_sh.select(F.col("doc_id").alias("new_doc_id"), "shingle")
+    xb = old_shingles.select(F.col("doc_id").alias("dup_of"), "shingle")
+    common = (
+        cands.join(xa, "new_doc_id")
+        .join(xb, ["dup_of", "shingle"])
+        .groupBy("new_doc_id", "dup_of")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(
+            sizes_new.withColumnRenamed("doc_id", "new_doc_id"), "new_doc_id"
+        )
+        .join(sizes_old.withColumnRenamed("doc_id", "dup_of"), "dup_of")
+        .filter(
+            F.lit(jaccard_den) * F.col("n_common")
+            >= F.lit(jaccard_num)
+            * (F.col("n_new") + F.col("n_old") - F.col("n_common"))
+        )
+        .select("new_doc_id", "dup_of", "n_common", "n_new", "n_old")
     )

@@ -285,3 +285,72 @@ def tfidf_top_terms(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= int(k_top)
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query: str,
+    text_col: str = "text",
+    k_top: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    tf: DataFrame | None = None,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """BM25 ranked retrieval over the ``doc_term_counts`` inverted index —
+    the lexical-search twin of the ANN operators (same serving economics:
+    index once, query many). Distributed shape: the posting list is
+    FILTERED to the query's terms before anything else (predicate
+    pushdown on ``term`` — at 10⁹ docs this is the difference between
+    touching a few posting lists and scanning the corpus), document
+    frequencies come from a per-term count over that filtered slice, and
+    the per-doc score is one map-side-combinable sum + a global
+    ``TakeOrderedAndProject`` top-k — no window, no global sort.
+
+    Corpus statistics (N, avgdl) are frozen as plan literals — one scalar
+    aggregate each when not supplied; production computes them once per
+    corpus snapshot alongside the index. Scores use the positive
+    ``ln((N - df + ½)/(df + ½) + 1)`` idf, are rounded to 6 dp, and the
+    top-k is ordered (score DESC, doc_id ASC) AFTER rounding, so ranking
+    is engine-portable and rerun-stable (the tfidf_top_terms discipline).
+    Only documents containing ≥1 query term appear.
+    """
+    qterms = sorted({t for t in query.split() if t})
+    if not qterms:
+        raise ValueError("empty query")
+    if tf is None:
+        tf = doc_term_counts(docs, text_col)
+    tfq = tf.where(F.col("term").isin(qterms))
+    dfq = tfq.groupBy("term").agg(F.count("*").alias("df"))
+    nd = float(n_docs if n_docs is not None else docs.count())
+    if avgdl is None:
+        avgdl = docs.agg(
+            F.avg(token_count(F.col(text_col)))
+        ).first()[0]
+    dl = docs.select(
+        "doc_id", token_count(F.col(text_col)).alias("dl")
+    )
+    idf = F.log(
+        (F.lit(nd) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
+        )
+    )
+    per_doc = (
+        tfq.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("score"),
+            F.count("*").alias("n_terms"),
+        )
+    )
+    return per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k_top)

@@ -24,6 +24,8 @@ INDEX_FAMILY = [
     # stored, served — never re-resolved at query time
     "dedup_clusters",
     "dedup_cluster_keep_best",
+    # probes the stored band index; only the incoming batch is hashed
+    "incremental_near_dup",
 ]
 
 
@@ -49,6 +51,7 @@ def test_index_gates_never_rebuild_at_query_time(spark, warmed, monkeypatch):
     monkeypatch.setattr(sim, "centroids_by_label", _boom)
     monkeypatch.setattr(dd, "dedup_clusters", _boom)
     monkeypatch.setattr(dd, "connected_components", _boom)
+    monkeypatch.setattr(dd, "build_minhash_band_index", _boom)
 
     for name in INDEX_FAMILY:
         assert warmed[name](spark, SF).count() > 0
