@@ -447,3 +447,74 @@ def test_dedup_lines_in_doc_properties(shared_spark_holder, texts):
         )
     ).collect()
     assert all(r["n_lines"] == r["n_kept"] for r in again)
+
+
+def test_incremental_near_dup_finds_stored_duplicate(spark):
+    from runyoro_llm_data_pipeline_spark.operators.dedup import (
+        build_minhash_band_index,
+        incremental_near_dup,
+        doc_shingles,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    old = spark.createDataFrame(
+        [(100, base), (101, "completely different historical content here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),                                   # exact copy of 100
+            (2, "nothing like anything stored before now"),  # no match
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_minhash_band_index(old, shingles=doc_shingles(old))
+    out = incremental_near_dup(
+        new, index=idx, old_shingles=doc_shingles(old)
+    ).collect()
+    pairs = {(r["new_doc_id"], r["dup_of"]) for r in out}
+    assert (1, 100) in pairs
+    assert all(r["new_doc_id"] != 2 for r in out)
+    r = next(r for r in out if (r["new_doc_id"], r["dup_of"]) == (1, 100))
+    assert r["n_common"] == r["n_new"] == r["n_old"]  # identical shingle sets
+
+
+def test_incremental_near_dup_hot_bucket_capped_at_build(spark):
+    from pyspark.sql import functions as F
+    from runyoro_llm_data_pipeline_spark.operators.dedup import (
+        build_minhash_band_index,
+    )
+
+    # 10 identical old docs -> every band key has 10 members; cap=4 drops
+    # them all from the stored index at BUILD time
+    old = spark.createDataFrame(
+        [(i, "same boilerplate text repeated") for i in range(10)],
+        "doc_id long, text string",
+    )
+    idx = build_minhash_band_index(old, max_docs_per_band_key=4)
+    assert idx.count() == 0
+    uncapped = build_minhash_band_index(old, max_docs_per_band_key=None)
+    assert uncapped.count() == 10 * 6  # n_perm=12 / band_size=2 bands each
+
+
+def test_bm25_prefers_matching_docs_and_is_deterministic(spark):
+    from runyoro_llm_data_pipeline_spark.operators.textstats import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark shuffle spark shuffle spark"),  # high tf, short
+            (1, "spark appears once in a much longer document padded "
+                "with many other words to inflate its length a lot"),
+            (2, "no relevant words at all"),
+            (3, "shuffle only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_search(docs, "spark shuffle", k_top=4).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 2 not in ids            # zero matching terms -> absent
+    assert ids[0] == 0             # both terms, high tf, short doc wins
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["n_terms"] == 2 and by_id[3]["n_terms"] == 1
+    again = bm25_search(docs, "spark shuffle", k_top=4).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
