@@ -477,7 +477,11 @@ def curation_admit(
     """The composed nightly admission decision a training-data pipeline
     actually ships: a document is admitted iff it (a) passes the quality
     gate, (b) is the canonical copy of its exact-duplicate group, and
-    (c) is not a verified near-duplicate of the stored corpus. Pure
+    (c) is not a verified near-duplicate of the stored corpus. The
+    distributed generalization of the reference's admit-or-skip loop
+    (``scripts/orchestrator.py:63-101``: validity + content-hash ledger
+    probe per source, sequential), with each rule's verdict kept as a
+    column instead of a log line. Pure
     column algebra over the three component outputs (``gopher_quality``,
     ``exact_dedup``, ``incremental_near_dup``) — three equi-joins on
     doc_id/md5, no new aggregates, so the composition adds nothing to the

@@ -758,7 +758,11 @@ def incremental_near_dup(
 ) -> DataFrame:
     """Near-dup admission for an INCOMING batch against a STORED corpus —
     the production shape of dedup at 100 TB, where re-running the
-    corpus-wide self-join per nightly batch is not an option. Cost model:
+    corpus-wide self-join per nightly batch is not an option. This is the
+    scale generalization of the reference's per-source ledger probe
+    (``scripts/orchestrator.py:63-101``: hash each incoming source, look
+    it up in the processed-log, skip if present) from exact-hash lookup
+    to near-duplicate lookup. Cost model:
 
     1. minhash+banding for the NEW docs only (∝ batch size);
     2. one equi-join of the new band keys against the stored
