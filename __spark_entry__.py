@@ -1957,7 +1957,9 @@ ORACLES["balance_deciles"] = """
 SELECT c.c_custkey, n.n_name,
        CAST(c.c_acctbal AS DOUBLE) AS acctbal,
        CAST(ntile(10) OVER w AS INTEGER) AS decile,
-       round(cume_dist() OVER w, 6) AS cume
+       CAST((1000000 * row_number() OVER w)
+            // (count(*) OVER (PARTITION BY n.n_name)) AS BIGINT)
+         AS cume_micros
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 WINDOW w AS (PARTITION BY n.n_name ORDER BY c.c_acctbal, c.c_custkey)
 """

@@ -101,6 +101,13 @@ def bench_ann_index(spark, n_queries: int = 8) -> dict:
         t0 = time.perf_counter()
         build_lsh_index(emb).write.parquet(idx_path)
         build_sec = round(time.perf_counter() - t0, 3)
+        # the corpus-scale bulk builder (one BLAS matmul per Arrow batch;
+        # equality-tested against the expression path in test_similarity)
+        t0 = time.perf_counter()
+        build_lsh_index(emb, kernel="arrow").write.parquet(
+            os.path.join(work, "lsh_index_arrow")
+        )
+        build_arrow_sec = round(time.perf_counter() - t0, 3)
         idx = spark.read.parquet(idx_path)
         t0 = time.perf_counter()
         total_rows = 0
@@ -111,6 +118,7 @@ def bench_ann_index(spark, n_queries: int = 8) -> dict:
         query_sec = round((time.perf_counter() - t0) / n_queries, 3)
         return {
             "build_sec": build_sec,
+            "build_arrow_sec": build_arrow_sec,
             "query_sec_avg": query_sec,
             "n_queries": n_queries,
             "rows": total_rows,

@@ -345,16 +345,28 @@ def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution ranking inside groups: per-nation account-balance
-    decile (``ntile(10)``) and cumulative distribution (``cume_dist``)
-    for every customer. The order key is (c_acctbal, c_custkey) — fully
-    tie-broken, so both rank functions are deterministic and
-    engine-portable. One shuffle on the nation key; ranking is a single
-    sorted pass per partition."""
+    decile (``ntile(10)``) and cumulative distribution for every
+    customer. The order key is (c_acctbal, c_custkey) — fully tie-broken,
+    so both rank functions are deterministic and engine-portable. One
+    shuffle on the nation key; ranking is a single sorted pass per
+    partition.
+
+    The cumulative distribution is emitted as INTEGER micro-units,
+    ``cume_micros = (10⁶ · row_number) div n`` (≡ floor(10⁶ ·
+    cume_dist) under a unique order key), not as ``round(k/n, 6)``: with
+    a power-of-two-times-five partition size, k/n lands EXACTLY on
+    7th-decimal halves and Spark's HALF_UP-on-shortest-string rounding
+    disagrees with DuckDB's raw-double rounding (found at sf0.1 where a
+    nation has 640 customers: 41/640 = .0640625 → 0.064063 vs 0.064062).
+    Integer division is exact in both engines at every scale."""
     from pyspark.sql import Window
 
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     w = Window.partitionBy("n_name").orderBy("c_acctbal", "c_custkey")
+    wp = Window.partitionBy("n_name")
+    rn = F.row_number().over(w).cast("long")
+    n = F.count("*").over(wp).cast("long")
     return (
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .select(
@@ -362,6 +374,14 @@ def balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             F.col("c_acctbal").cast("double").alias("acctbal"),
             F.ntile(10).over(w).alias("decile"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            (F.lit(1000000).cast("long") * rn).alias("__num"),
+            n.alias("__den"),
+        )
+        .select(
+            "c_custkey",
+            "n_name",
+            "acctbal",
+            "decile",
+            F.expr("__num div __den").alias("cume_micros"),
         )
     )

@@ -237,3 +237,27 @@ def test_ivf_recall_and_shape(spark):
     assert exchanges and all(
         e.startswith(("vec_id", "cluster")) for e in exchanges
     ), exchanges
+
+
+def test_lsh_index_arrow_kernel_matches_expression(spark):
+    """The BLAS builder must produce the identical (vec_id, tbl, sig)
+    table as the oracle-matched expression path on the fixtures, for both
+    the 3-plane serving index and the 8-plane near-dup index."""
+    from runyoro_llm_data_pipeline_spark.operators.similarity import (
+        build_lsh_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for n_planes in (3, 8):
+        a = sorted(
+            map(tuple, build_lsh_index(emb, n_planes=n_planes).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                build_lsh_index(
+                    emb, n_planes=n_planes, kernel="arrow"
+                ).collect(),
+            )
+        )
+        assert a == b
