@@ -1443,11 +1443,11 @@ q AS (
   SELECT doc_id,
          ((n_words >= 5 AND n_words <= 100000)
           AND (CASE WHEN n_words > 0
-               THEN round(CAST(sum_len AS DOUBLE) / n_words, 6) ELSE 0.0 END
-                 BETWEEN 2.0 AND 12.0)
+               THEN CAST((1000000 * sum_len) // n_words AS DOUBLE) / 1000000.0
+               ELSE 0.0 END BETWEEN 2.0 AND 12.0)
           AND (CASE WHEN n_words > 0
-               THEN round(CAST(n_alpha AS DOUBLE) / n_words, 6) ELSE 0.0 END
-                 >= 0.8)
+               THEN CAST((1000000 * n_alpha) // n_words AS DOUBLE) / 1000000.0
+               ELSE 0.0 END >= 0.8)
           AND n_stopwords >= 2) AS passes
   FROM feat),
 ch AS (SELECT doc_id, md5(text) AS h FROM documents),
@@ -1976,9 +1976,10 @@ b AS (
 SELECT doc_id,
        len(grams) AS n_bigrams,
        len(list_distinct(grams)) AS n_distinct,
-       round(CASE WHEN len(grams) > 0
-                  THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
-                  ELSE 0.0 END, 6) AS dup_frac
+       CASE WHEN len(grams) > 0
+            THEN CAST((1000000 * (len(grams) - len(list_distinct(grams))))
+                      // len(grams) AS DOUBLE) / 1000000.0
+            ELSE 0.0 END AS dup_frac
 FROM b
 """
 
@@ -2023,10 +2024,12 @@ feat AS (
 m AS (
   SELECT doc_id, n_words, n_stopwords,
          CASE WHEN n_words > 0
-              THEN round(CAST(sum_len AS DOUBLE) / n_words, 6) ELSE 0.0 END
+              THEN CAST((1000000 * sum_len) // n_words AS DOUBLE) / 1000000.0
+              ELSE 0.0 END
            AS mean_word_len,
          CASE WHEN n_words > 0
-              THEN round(CAST(n_alpha AS DOUBLE) / n_words, 6) ELSE 0.0 END
+              THEN CAST((1000000 * n_alpha) // n_words AS DOUBLE) / 1000000.0
+              ELSE 0.0 END
            AS alpha_frac
   FROM feat)
 SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stopwords,

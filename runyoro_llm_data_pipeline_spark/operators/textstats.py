@@ -27,6 +27,16 @@ EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 _TOKEN_SEP = r"\s+"
 
 
+def _trunc6(num: Column, den: Column) -> Column:
+    """Exact 6-dp truncation of the rational num/den: floor(10⁶·num/den)
+    computed where the double quotient's ulp (≤ 2.4e-7 for quotients up
+    to ~10⁹) is far below the 1/den minimum distance of a non-integer
+    rational from an integer — so the floor equals integer division in
+    both engines (`//` in DuckDB), with no rounding-mode dependence."""
+    q = F.floor(F.lit(1000000.0) * num.cast("double") / den).cast("double")
+    return q / F.lit(1000000.0)
+
+
 def tokens_col(text: Column) -> Column:
     """Whitespace tokenization of trimmed text; empty text → empty array
     (``split`` on '' yields [''], guarded here)."""
@@ -147,9 +157,13 @@ def gopher_quality(
     Pure per-row array algebra inside whole-stage codegen (tokenize once,
     three ``filter``/``aggregate`` passes over the token array — no
     explode, no shuffle; at 100 TB this pipelines with the corpus scan).
-    Ratios are rounded to 6 dp so the DuckDB oracle compares exactly
-    (sum/count over identical integers is bit-identical IEEE754 in both
-    engines).
+    Ratios are emitted as exact 6-dp TRUNCATIONS via integer math
+    (``floor(10⁶·k/n)/10⁶``), not ``round(k/n, 6)``: whenever 2⁷ | n the
+    exact rational lands on a 7th-decimal half and Spark's HALF_UP
+    rounding diverges from DuckDB's raw-double rounding (the
+    balance_deciles boundary bug, which a 128-word document would
+    reproduce here). Truncated integer division is identical in both
+    engines at every n.
     """
     toks = tokens_col(F.col(text_col))
     df = docs.select("doc_id", toks.alias("w"))
@@ -162,12 +176,8 @@ def gopher_quality(
     sum_len = F.aggregate(
         F.col("w"), F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
     )
-    mean_len = F.when(n > 0, F.round(sum_len.cast("double") / n, 6)).otherwise(
-        F.lit(0.0)
-    )
-    alpha_frac = F.when(n > 0, F.round(n_alpha.cast("double") / n, 6)).otherwise(
-        F.lit(0.0)
-    )
+    mean_len = F.when(n > 0, _trunc6(sum_len, n)).otherwise(F.lit(0.0))
+    alpha_frac = F.when(n > 0, _trunc6(n_alpha, n)).otherwise(F.lit(0.0))
     df = df.select(
         "doc_id",
         n.alias("n_words"),
@@ -222,7 +232,7 @@ def ngram_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         n.alias("n_bigrams"),
         nd.alias("n_distinct"),
-        F.when(n > 0, F.round(F.lit(1.0) - nd.cast("double") / n, 6))
+        F.when(n > 0, _trunc6(n - nd, n))
         .otherwise(F.lit(0.0))
         .alias("dup_frac"),
     )

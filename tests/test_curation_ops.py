@@ -518,3 +518,29 @@ def test_bm25_prefers_matching_docs_and_is_deterministic(spark):
     assert by_id[0]["n_terms"] == 2 and by_id[3]["n_terms"] == 1
     again = bm25_search(docs, "spark shuffle", k_top=4).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_gopher_ratio_exact_at_power_of_two_word_count(spark):
+    """The cume-rounding bug class, pinned: with 2^7 | n_words the exact
+    rational sum_len/n_words lands on a 7th-decimal half
+    (129/128 = 1.0078125) where Spark round() and DuckDB round() disagree;
+    the truncating integer form must yield the same value both engines
+    compute: floor(1e6 * 129/128)/1e6 = 1.007812."""
+    import duckdb
+    from runyoro_llm_data_pipeline_spark.operators.textstats import (
+        gopher_quality,
+    )
+
+    words = ["ab"] + ["a"] * 127          # 128 words, sum_len = 129
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    row = gopher_quality(docs).collect()[0]
+    assert row["n_words"] == 128
+    assert row["mean_word_len"] == 1.007812  # truncated, not half-up
+    con = duckdb.connect()
+    ddb = con.sql(
+        "SELECT CAST((1000000 * 129) // 128 AS DOUBLE) / 1000000.0"
+    ).fetchone()[0]
+    con.close()
+    assert row["mean_word_len"] == ddb
