@@ -38,19 +38,38 @@ def get_spark(
             f"{pkg_root}{os.pathsep}{pypath}" if pypath else pkg_root
         )
 
-    if master is None:
+    # Under spark-submit the JVM gateway already exists (PythonRunner
+    # exports PYSPARK_GATEWAY_PORT) and spark.master was set by the
+    # launcher — do NOT stomp it with the local default; an explicit
+    # master= argument still wins (the CLI's --master override).
+    under_spark_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not under_spark_submit:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
+    if shuffle_partitions is None and under_spark_submit:
+        # respect a launcher-provided --conf; fall through to our default
+        # (NOT Spark's 200) only when the operator set nothing
+        from pyspark import SparkConf
+
+        submitted = SparkConf().get("spark.sql.shuffle.partitions", None)
+        if submitted is not None:
+            shuffle_partitions = int(submitted)
     if shuffle_partitions is None:
         try:
-            n = int(master.split("[")[1].rstrip("]*")) if "[" in master else 32
+            n = (
+                int(master.split("[")[1].rstrip("]*"))
+                if master and "[" in master
+                else 32
+            )
         except ValueError:
             n = 32
         shuffle_partitions = max(n, 8)
 
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
