@@ -59,6 +59,7 @@ from runyoro_llm_data_pipeline_spark.lake.table import (
     LINEAGE_DIR,
     VERSION_LSN,
     VERSION_TS,
+    CommitConflictError,
     LakeTable,
 )
 
@@ -304,6 +305,7 @@ def apply_batch(
     normalize_impl: str = "jvm",
     quarantine_dir: str | None = None,
     summary_extra: dict | None = None,
+    max_commit_retries: int = 3,
 ) -> dict[str, Any]:
     """``mode='mor'`` (default — the high-throughput path all published
     numbers use) appends per-bucket delta files on a two-job graph
@@ -311,12 +313,18 @@ def apply_batch(
     rewrites affected buckets pre-collapsed (read-optimized).
     ``collapse_impl``: 'arrow' = single-shuffle mapInPandas dedup,
     'maxby' = JVM aggregate + bucket repartition. ``normalize_impl``:
-    'jvm' fast path or 'pandas' CPython-bit-exact path."""
-    snap = table.current()
-    floor = int(snap.summary.get("applied_floor", -1))
-    if str(batch_id) in snap.applied or batch_id <= floor:
-        return {"status": "skipped", "batch_id": batch_id, "version": snap.version}
+    'jvm' fast path or 'pandas' CPython-bit-exact path.
 
+    **Optimistic concurrency with bounded retry**: if another writer
+    commits between this call's snapshot read and its pointer swap (e.g.
+    an overlapping cron launch of the reference's run-again-forever loop,
+    ``train_llm.py:126-129``), the atomic commit raises
+    ``CommitConflictError``; this call then re-reads the fresh snapshot
+    and retries up to ``max_commit_retries`` times. The applied-offset
+    gate is re-checked on every attempt, so if the competing writer
+    applied the SAME batch the retry degrades to ``status='skipped'`` —
+    exactly-once holds under any interleaving. Data files staged by a
+    lost attempt are unreferenced and reclaimed by ``cleanup_orphans``."""
     if quarantine_dir:
         # materialize rejected rows for inspection/replay-after-fix —
         # generalizes the reference's skip-and-log of unsupported sources
@@ -327,23 +335,42 @@ def apply_batch(
             os.path.join(quarantine_dir, f"batch_{batch_id:05d}")
         )
 
-    if mode == "mor":
-        return _apply_mor(
-            spark, table, events, batch_id, normalize_text, key_cols, snap,
-            collapse_impl=collapse_impl, normalize_impl=normalize_impl,
-            summary_extra=summary_extra,
-        )
+    attempt = 0
+    while True:
+        snap = table.current()
+        floor = int(snap.summary.get("applied_floor", -1))
+        if str(batch_id) in snap.applied or batch_id <= floor:
+            return {
+                "status": "skipped", "batch_id": batch_id,
+                "version": snap.version,
+            }
+        try:
+            if mode == "mor":
+                return _apply_mor(
+                    spark, table, events, batch_id, normalize_text,
+                    key_cols, snap, collapse_impl=collapse_impl,
+                    normalize_impl=normalize_impl,
+                    summary_extra=summary_extra,
+                )
 
-    import time
+            import time
 
-    t_start = time.perf_counter()
-    valid, rejected = validate_events(events)
-    n_rejected = rejected.count()
-    if normalize_text:
-        valid = valid.withColumn("text", _normalizer(normalize_impl)(F.col("text")))
-    changes = collapse_latest_wins(valid, keys=key_cols)
-    plan = merge_into(spark, table, changes, key_cols=key_cols, snap=snap)
-    return _commit(
-        table, snap, plan, batch_id, plan["bucket_stats"], n_rejected, t_start,
-        summary_extra,
-    )
+            t_start = time.perf_counter()
+            valid, rejected = validate_events(events)
+            n_rejected = rejected.count()
+            if normalize_text:
+                valid = valid.withColumn(
+                    "text", _normalizer(normalize_impl)(F.col("text"))
+                )
+            changes = collapse_latest_wins(valid, keys=key_cols)
+            plan = merge_into(
+                spark, table, changes, key_cols=key_cols, snap=snap
+            )
+            return _commit(
+                table, snap, plan, batch_id, plan["bucket_stats"],
+                n_rejected, t_start, summary_extra,
+            )
+        except CommitConflictError:
+            attempt += 1
+            if attempt > max_commit_retries:
+                raise

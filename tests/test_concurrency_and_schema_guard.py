@@ -84,3 +84,69 @@ def test_orphan_cleanup_after_lost_race(spark, tmp_lake):
     r = apply_batch(spark, t, _batch(spark, 2, 1, "w2"), 1, mode="mor")
     assert r["status"] == "applied"
     assert t.cleanup_orphans(min_age_seconds=0) == 0  # nothing orphaned now
+
+
+def test_apply_batch_retries_after_transient_conflict(spark, tmp_lake):
+    """Optimistic-concurrency retry: a commit that loses the pointer race
+    raises CommitConflictError; apply_batch must re-read the snapshot and
+    succeed on the next attempt (and must NOT retry when
+    max_commit_retries=0)."""
+    ing = CdcIngest(os.path.join(tmp_lake, "t"), "/nonexistent", num_buckets=4)
+    t = ing.table()
+    real_commit = t.commit
+    calls = {"n": 0}
+
+    def flaky_commit(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise CommitConflictError("simulated lost pointer race")
+        return real_commit(*a, **k)
+
+    t.commit = flaky_commit
+    r = apply_batch(spark, t, _batch(spark, 1, 0, "survivor"), 0, mode="mor")
+    assert r["status"] == "applied"
+    assert calls["n"] == 2  # one lost race + one winning retry
+    assert t.read(spark).collect()[0]["text"] == "survivor"
+
+    t.commit = real_commit
+    t2 = ing.table()
+
+    def always_conflict(*a, **k):
+        raise CommitConflictError("permanent")
+
+    t2.commit = always_conflict
+    with pytest.raises(CommitConflictError):
+        apply_batch(
+            spark, t2, _batch(spark, 2, 1), 1, mode="mor",
+            max_commit_retries=0,
+        )
+
+
+def test_apply_batch_retry_degrades_to_skip_when_rival_applied_same_batch(
+    spark, tmp_lake
+):
+    """The cron-overlap case: two launches race to apply the SAME batch.
+    The loser's retry re-checks the applied-offset gate against the fresh
+    snapshot and must return 'skipped' — exactly-once under any
+    interleaving, no double-apply, no crash."""
+    path = os.path.join(tmp_lake, "t")
+    ing = CdcIngest(path, "/nonexistent", num_buckets=4)
+    t = ing.table()
+    rival = ing.table()  # second handle = the competing launch
+    real_commit = t.commit
+    state = {"raced": False}
+
+    def racing_commit(*a, **k):
+        if not state["raced"]:
+            state["raced"] = True
+            # the rival applies the SAME batch first, then our commit
+            # loses the pointer race
+            apply_batch(spark, rival, _batch(spark, 1, 0, "rival"), 0, mode="mor")
+            raise CommitConflictError("lost to rival")
+        return real_commit(*a, **k)
+
+    t.commit = racing_commit
+    r = apply_batch(spark, t, _batch(spark, 1, 0, "ours"), 0, mode="mor")
+    assert r["status"] == "skipped"
+    rows = t.read(spark).collect()
+    assert len(rows) == 1 and rows[0]["text"] == "rival"  # applied exactly once
