@@ -338,6 +338,13 @@ def apply_batch(
     attempt = 0
     while True:
         snap = table.current()
+        # refresh handle state the snapshot is authoritative for: a rival
+        # rebucket() between attempts would otherwise leave this handle
+        # computing bucket_expr against the old modulus (the same staleness
+        # class as the rollback num_buckets fix, lake/table.py:400)
+        table.num_buckets = int(
+            snap.summary.get("num_buckets", table.num_buckets)
+        )
         floor = int(snap.summary.get("applied_floor", -1))
         if str(batch_id) in snap.applied or batch_id <= floor:
             return {

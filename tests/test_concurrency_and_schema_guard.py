@@ -150,3 +150,36 @@ def test_apply_batch_retry_degrades_to_skip_when_rival_applied_same_batch(
     assert r["status"] == "skipped"
     rows = t.read(spark).collect()
     assert len(rows) == 1 and rows[0]["text"] == "rival"  # applied exactly once
+
+
+def test_apply_batch_retry_adopts_rival_rebucket(spark, tmp_lake):
+    """If the rival that won the race also rebucketed the table, the
+    retry must compute buckets against the NEW modulus (a stale
+    num_buckets would silently write rows into buckets the readers'
+    pruning never visits)."""
+    path = os.path.join(tmp_lake, "t")
+    ing = CdcIngest(path, "/nonexistent", num_buckets=4)
+    t = ing.table()
+    r0 = apply_batch(spark, t, _batch(spark, 1, 0, "seed"), 0, mode="mor")
+    assert r0["status"] == "applied"
+
+    rival = ing.table()
+    real_commit = t.commit
+    state = {"raced": False}
+
+    def racing_commit(*a, **k):
+        if not state["raced"]:
+            state["raced"] = True
+            rival.rebucket(spark, 8)
+            raise CommitConflictError("lost to a rebucketing rival")
+        return real_commit(*a, **k)
+
+    t.commit = racing_commit
+    r = apply_batch(spark, t, _batch(spark, 2, 1, "after"), 1, mode="mor")
+    assert r["status"] == "applied"
+    assert t.num_buckets == 8  # handle refreshed from the fresh snapshot
+    rows = {x["text"] for x in t.read(spark).collect()}
+    assert rows == {"after"}  # latest-wins row readable post-rebucket
+    # point lookup plans against the new modulus and still finds the key
+    got = t.read_conversation(spark, "c1").collect()
+    assert len(got) == 1 and got[0]["text"] == "after"
