@@ -743,7 +743,36 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # CDC core (W3 latest-wins, salted skew variant, ordered ops)
+    # ------------------------------------------------------------------
+    # Dict order is load-bearing: the driver's correctness harness checks
+    # exactly the first 50 entries in dict order.  Round-5 rotation
+    # (VERDICT r4 item 1): the 6 never-driver-verified queries lead, then
+    # the 10 queries whose last driver row is r3, then the CDC core, then
+    # the 10 r4-first-verified queries (two of which — bm25_search,
+    # incremental_near_dup — changed this round and MUST re-verify), then
+    # 20 double-green rows.  The 16 most-settled relational/text queries
+    # (green in BOTH r3 and r4 + the 3-scale pytest oracle-parity gate)
+    # sit past position 50.
+    # ------------------------------------------------------------------
+    # (1) never driver-verified until now
+    "line_dedup": lambda s, d: dd.line_dedup(_docs(s, d), lines=_lines(s, d)),
+    "pack_sequences": lambda s, d: cp.pack_sequences(_docs(s, d), window_tokens=2048),
+    "mix_sample": q_mix_sample,
+    "decontaminate": q_decontaminate,
+    "dedup_keep_best": lambda s, d: dd.exact_dedup_keep_best(_docs(s, d)),
+    "pack_windows": lambda s, d: cp.pack_windows(_docs(s, d), window_tokens=2048),
+    # (2) last driver row is r3 (rotated out in r4)
+    "regime_range_join": q_regime_range_join,
+    "hash_split": q_hash_split,
+    "event_value_quantiles": rel.event_value_quantiles,
+    "top_orders_per_segment": rel.top_orders_per_segment,
+    "rolling_event_avg": rel.rolling_event_avg,
+    "order_priority_pivot": rel.order_priority_pivot,
+    "balance_deciles": rel.balance_deciles,
+    "bigram_repetition": lambda s, d: tx.ngram_repetition(_docs(s, d)),
+    "redact_pii": q_redact_pii,
+    "gopher_quality": lambda s, d: tx.gopher_quality(_docs(s, d)),
+    # (3) CDC core (W3 latest-wins, salted skew variant, ordered ops)
     "cdc_latest_wins": q_cdc_latest_wins,
     "cdc_latest_wins_salted": q_cdc_latest_wins_salted,
     # the REAL streaming path (readStream → foreachBatch → lake commit)
@@ -752,27 +781,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conversation_threads": q_conversation_threads,
     "turn_enumeration": q_turn_enumeration,
     "sessionization": q_sessionization,
-    # relational (J1/J2 joins, decimal aggregates, A2/A4)
-    "q1_pricing_summary": rel.q1_pricing_summary,
-    "segment_revenue": rel.segment_revenue,
-    "shipping_priority": rel.shipping_priority,
-    "nation_order_rollup": rel.nation_order_rollup,
-    "revenue_rollup": rel.revenue_rollup,
-    "anti_join_users_without_errors": rel.users_without_errors,
-    "left_join_customer_orders": rel.customer_order_profile,
-    "semi_join_suppliers": rel.suppliers_with_shipments,
-    "q6_revenue_delta": rel.q6_revenue_delta,
-    "quality_gate": rel.quality_gate,
-    "listing_hash": rel.listing_hash,
-    # text analysis (P2, P4-P6, token/quality/lang/fingerprint)
+    # (4+5) dedup / similarity / text suites
     "text_clean_p2": q_text_clean_p2,
-    "corpus_filter": tx.corpus_filter,
-    "doc_stats": lambda s, d: tx.doc_stats(_docs(s, d)),
-    "lang_id": lambda s, d: tx.lang_id_heuristic(_docs(s, d)),
-    "fingerprint": lambda s, d: tx.fingerprint(_docs(s, d)),
-    "json_props": q_json_props,
     "vocab_topk": lambda s, d: cp.build_vocab(_docs(s, d), size=256),
-    # dedup suite
     "dedup_exact": lambda s, d: dd.exact_dedup(_docs(s, d)),
     "ngram_jaccard_pairs": lambda s, d: dd.ngram_jaccard_pairs(
         _docs(s, d), shingles=_shingles(s, d)
@@ -860,22 +871,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scrape_extract": q_scrape_extract,
     "url_canonical": q_url_canonical,
     "asof_last_view": q_asof_last_view,
-    "regime_range_join": q_regime_range_join,
-    "hash_split": q_hash_split,
-    "event_value_quantiles": rel.event_value_quantiles,
-    "top_orders_per_segment": rel.top_orders_per_segment,
-    "rolling_event_avg": rel.rolling_event_avg,
-    "order_priority_pivot": rel.order_priority_pivot,
-    "balance_deciles": rel.balance_deciles,
-    "bigram_repetition": lambda s, d: tx.ngram_repetition(_docs(s, d)),
-    "redact_pii": q_redact_pii,
-    "gopher_quality": lambda s, d: tx.gopher_quality(_docs(s, d)),
-    "line_dedup": lambda s, d: dd.line_dedup(_docs(s, d), lines=_lines(s, d)),
-    "pack_sequences": lambda s, d: cp.pack_sequences(_docs(s, d), window_tokens=2048),
-    "mix_sample": q_mix_sample,
-    "decontaminate": q_decontaminate,
-    "dedup_keep_best": lambda s, d: dd.exact_dedup_keep_best(_docs(s, d)),
-    "pack_windows": lambda s, d: cp.pack_windows(_docs(s, d), window_tokens=2048),
+    # ---- position 51+ : double-green settled rows (driver rows in BOTH
+    # r3 and r4 + 3-scale pytest oracle parity) ----
+    # relational (J1/J2 joins, decimal aggregates, A2/A4)
+    "q1_pricing_summary": rel.q1_pricing_summary,
+    "segment_revenue": rel.segment_revenue,
+    "shipping_priority": rel.shipping_priority,
+    "nation_order_rollup": rel.nation_order_rollup,
+    "revenue_rollup": rel.revenue_rollup,
+    "anti_join_users_without_errors": rel.users_without_errors,
+    "left_join_customer_orders": rel.customer_order_profile,
+    "semi_join_suppliers": rel.suppliers_with_shipments,
+    "q6_revenue_delta": rel.q6_revenue_delta,
+    "quality_gate": rel.quality_gate,
+    "listing_hash": rel.listing_hash,
+    # text analysis (P4-P6, token/quality/lang/fingerprint)
+    "corpus_filter": tx.corpus_filter,
+    "doc_stats": lambda s, d: tx.doc_stats(_docs(s, d)),
+    "lang_id": lambda s, d: tx.lang_id_heuristic(_docs(s, d)),
+    "fingerprint": lambda s, d: tx.fingerprint(_docs(s, d)),
+    "json_props": q_json_props,
 }
 
 
