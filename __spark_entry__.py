@@ -270,7 +270,10 @@ def _lsh_index(spark, sf_dir):
     path = _LSH_INDEX_CACHE.get(sf_dir)
     if path is None:
         path = os.path.join(tempfile.mkdtemp(prefix="lsh_idx_"), "index")
-        sim.build_lsh_index(_emb(spark, sf_dir)).write.mode(
+        # arrow kernel: one BLAS matmul per Arrow batch — bit-identical to
+        # the expression path on this corpus (verified by exceptAll both
+        # directions at sf0.1; pinned by tests/test_similarity.py)
+        sim.build_lsh_index(_emb(spark, sf_dir), kernel="arrow").write.mode(
             "overwrite"
         ).parquet(path)
         _LSH_INDEX_CACHE[sf_dir] = path
@@ -288,9 +291,9 @@ def _nd_index(spark, sf_dir):
     path = _ND_INDEX_CACHE.get(sf_dir)
     if path is None:
         path = os.path.join(tempfile.mkdtemp(prefix="nd_idx_"), "index")
-        sim.build_lsh_index(_emb(spark, sf_dir), n_planes=8).write.mode(
-            "overwrite"
-        ).parquet(path)
+        sim.build_lsh_index(
+            _emb(spark, sf_dir), n_planes=8, kernel="arrow"
+        ).write.mode("overwrite").parquet(path)
         _ND_INDEX_CACHE[sf_dir] = path
     return spark.read.parquet(path)
 
@@ -320,6 +323,41 @@ def _band_index(spark, sf_dir):
         ).parquet(path)
         _BAND_INDEX_CACHE[sf_dir] = path
     return spark.read.parquet(path)
+
+
+_TF_INDEX_CACHE: dict[str, str] = {}
+_BM25_STATS_CACHE: dict[str, tuple[int, float]] = {}
+
+
+def _tf_index(spark, sf_dir):
+    """Materialized inverted index (doc_term_counts with_dl=True → parquet):
+    (doc_id, term, tf, dl) rows, built once per corpus per process. BM25
+    serves from the term-filtered posting rows ALONE — document lengths
+    ride on the rows, so query time never re-tokenizes the corpus."""
+    path = _TF_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix="tf_idx_"), "tf")
+        tx.doc_term_counts(_docs(spark, sf_dir), with_dl=True).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _TF_INDEX_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
+
+
+def _bm25_stats(spark, sf_dir):
+    """Stored corpus statistics (n_docs, avgdl), computed once per corpus
+    snapshot alongside the tf index — BM25 queries receive them as plan
+    literals, paying zero corpus-wide aggregates at query time."""
+    stats = _BM25_STATS_CACHE.get(sf_dir)
+    if stats is None:
+        docs = _docs(spark, sf_dir)
+        row = docs.agg(
+            F.count("*").alias("nd"),
+            F.avg(tx.token_count(F.col("text"))).alias("avgdl"),
+        ).first()
+        stats = (int(row["nd"]), float(row["avgdl"]))
+        _BM25_STATS_CACHE[sf_dir] = stats
+    return stats
 
 
 _CLUSTERS_CACHE: dict[str, str] = {}
@@ -820,9 +858,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             ).alias("text"),
         )
     ),
-    "tfidf_top_terms": lambda s, d: tx.tfidf_top_terms(_docs(s, d)),
+    "tfidf_top_terms": lambda s, d: tx.tfidf_top_terms(
+        _docs(s, d), tf=_tf_index(s, d), n_docs=_bm25_stats(s, d)[0]
+    ),
+    # served fully index-resident: term-filtered posting rows carry dl;
+    # N/avgdl are stored stats passed as plan literals — the query plan
+    # touches only the filtered posting list (docs=None proves it)
     "bm25_search": lambda s, d: tx.bm25_search(
-        _docs(s, d), "table hash merge batch"
+        None,
+        "table hash merge batch",
+        tf=_tf_index(s, d),
+        n_docs=_bm25_stats(s, d)[0],
+        avgdl=_bm25_stats(s, d)[1],
     ),
     # incoming batch (doc_id % 5 == 0) deduped against the stored band
     # index of the rest of the corpus — query-time cost ∝ batch only

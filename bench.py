@@ -165,6 +165,10 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, int], dict[str, fl
     t0 = time.perf_counter()
     entrymod._band_index(spark, SF_DIR).count()
     mat["band_index_build_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    entrymod._tf_index(spark, SF_DIR).count()
+    entrymod._bm25_stats(spark, SF_DIR)
+    mat["tf_index_build_sec"] = round(time.perf_counter() - t0, 3)
 
     qs = entrymod.queries()
     times: dict[str, float] = {}

@@ -329,11 +329,17 @@ def apply_batch(
         # materialize rejected rows for inspection/replay-after-fix —
         # generalizes the reference's skip-and-log of unsupported sources
         # (scripts/process_raw_data.py:52). Optional: costs one extra
-        # filtered scan of the batch only when enabled.
-        _, rejected = validate_events(events)
-        rejected.write.mode("overwrite").parquet(
-            os.path.join(quarantine_dir, f"batch_{batch_id:05d}")
-        )
+        # filtered scan of the batch only when enabled. Gated on the same
+        # applied/floor test as the apply itself so a re-delivered batch
+        # stays fully side-effect free (no Spark jobs, no rewrite of the
+        # quarantine parquet a prior delivery already produced).
+        snap0 = table.current()
+        floor0 = int(snap0.summary.get("applied_floor", -1))
+        if str(batch_id) not in snap0.applied and batch_id > floor0:
+            _, rejected = validate_events(events)
+            rejected.write.mode("overwrite").parquet(
+                os.path.join(quarantine_dir, f"batch_{batch_id:05d}")
+            )
 
     attempt = 0
     while True:

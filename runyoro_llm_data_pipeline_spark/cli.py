@@ -120,6 +120,11 @@ def main(argv: list[str] | None = None) -> int:
                 "sec": round(dt, 2),
                 "table_version": table.current_version(),
                 "watermark_lsn": table.current().summary.get("watermark_lsn"),
+                # effective value AFTER get_spark's launcher-respect logic —
+                # lets a submitted job prove its --conf survived
+                "shuffle_partitions": spark.conf.get(
+                    "spark.sql.shuffle.partitions"
+                ),
             }
         )
     )

@@ -723,14 +723,20 @@ def build_minhash_band_index(
     max_docs_per_band_key: int = MAX_DOCS_PER_BAND_KEY,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """The stored text-dedup index: (doc_id, band, band_key) over a corpus
-    snapshot, hot band keys (> ``max_docs_per_band_key`` members) dropped
-    at build time so no future probe can go O(bucket²). Production writes
-    this next to the corpus (as `_lsh_index` does for embeddings) and
-    refreshes it incrementally — `incremental_near_dup` then dedups each
-    incoming batch against it without ever re-hashing the corpus."""
+    """The stored text-dedup index: (doc_id, band, band_key, n_sh) over a
+    corpus snapshot, hot band keys (> ``max_docs_per_band_key`` members)
+    dropped at build time so no future probe can go O(bucket²). Production
+    writes this next to the corpus (as `_lsh_index` does for embeddings)
+    and refreshes it incrementally — `incremental_near_dup` then dedups
+    each incoming batch against it without ever re-hashing the corpus.
+
+    ``n_sh`` is the doc's distinct-shingle count, paid ONCE here at build
+    time so probes never aggregate the historical shingle table to learn
+    old-side set sizes (that aggregate is corpus-wide; at 100 TB it would
+    dominate every nightly batch)."""
+    sh = _sh_or(shingles, docs, text_col, k)
     banded = _banded_signatures(
-        docs, text_col, n_perm, band_size, k, shingles=shingles
+        docs, text_col, n_perm, band_size, k, shingles=sh
     )
     if max_docs_per_band_key is not None:
         banded = (
@@ -741,7 +747,8 @@ def build_minhash_band_index(
             .filter(F.col("__n") <= max_docs_per_band_key)
             .drop("__n")
         )
-    return banded
+    n_sh = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    return banded.join(n_sh, "doc_id")
 
 
 def incremental_near_dup(
@@ -770,8 +777,13 @@ def incremental_near_dup(
        touched only through index-bucket lookups — with the index
        bucketed/sorted by band_key this is a pruned probe, and the
        batch side is broadcastable);
-    3. exact shingle-Jaccard verification of ONLY the candidate pairs,
-       pulling old-side shingles for candidate docs alone.
+    3. exact shingle-Jaccard verification of ONLY the candidate pairs:
+       the old-side shingle table is first semi-join-pruned to the
+       candidate ``dup_of`` id set (batch-bounded, so the prune side is
+       broadcastable) before the (dup_of, shingle) join, and old-side set
+       sizes come from the ``n_sh`` column the index stored at build time
+       — NO corpus-wide aggregate or scan happens at probe time; every
+       old-side touch is keyed by the candidate set.
 
     Returns verified (new_doc_id, dup_of, n_common, n_new, n_old) pairs —
     ``dup_of`` is the historical duplicate; a downstream anti-join of the
@@ -782,34 +794,48 @@ def incremental_near_dup(
     new_banded = _banded_signatures(
         new_docs, text_col, n_perm, band_size, k, shingles=new_sh
     )
+    if "n_sh" not in index.columns:
+        raise ValueError(
+            "index lacks the per-doc shingle-count column 'n_sh'; rebuild "
+            "it with build_minhash_band_index (stale pre-round-5 artifact)"
+        )
     idx = index.select(
-        F.col("doc_id").alias("dup_of"), "band", "band_key"
+        F.col("doc_id").alias("dup_of"),
+        "band",
+        "band_key",
+        F.col("n_sh").alias("n_old"),
     )
+    # n_old rides along with the candidate pair (it is functionally
+    # dependent on dup_of), so no second old-side touch is needed.
     cands = (
         new_banded.select(
             F.col("doc_id").alias("new_doc_id"), "band", "band_key"
         )
         .join(idx, ["band", "band_key"])
-        .select("new_doc_id", "dup_of")
+        .select("new_doc_id", "dup_of", "n_old")
         .distinct()
     )
     sizes_new = new_sh.groupBy("doc_id").agg(F.count("*").alias("n_new"))
-    sizes_old = old_shingles.groupBy("doc_id").agg(
-        F.count("*").alias("n_old")
-    )
     xa = new_sh.select(F.col("doc_id").alias("new_doc_id"), "shingle")
-    xb = old_shingles.select(F.col("doc_id").alias("dup_of"), "shingle")
+    # Prune the historical shingle table to candidate docs BEFORE the
+    # shingle equi-join: the candidate id set is ∝ batch size (bounded by
+    # |batch| × n_bands × max_docs_per_band_key), so it broadcasts and the
+    # big table is filtered map-side — with the shingle store partitioned
+    # by doc_id this is a pruned fetch, never a full scan.
+    cand_old_ids = cands.select(F.col("dup_of").alias("doc_id")).distinct()
+    xb = old_shingles.join(
+        F.broadcast(cand_old_ids), "doc_id", "left_semi"
+    ).select(F.col("doc_id").alias("dup_of"), "shingle")
     common = (
         cands.join(xa, "new_doc_id")
         .join(xb, ["dup_of", "shingle"])
-        .groupBy("new_doc_id", "dup_of")
+        .groupBy("new_doc_id", "dup_of", "n_old")
         .agg(F.count("*").alias("n_common"))
     )
     return (
         common.join(
             sizes_new.withColumnRenamed("doc_id", "new_doc_id"), "new_doc_id"
         )
-        .join(sizes_old.withColumnRenamed("doc_id", "dup_of"), "dup_of")
         .filter(
             F.lit(jaccard_den) * F.col("n_common")
             >= F.lit(jaccard_num)

@@ -9,11 +9,14 @@ whole document — as ``get_text(separator=" ", strip=True)``.
 Spark-first split:
 
 * **fetch** is I/O against the outside world — a ``mapInPandas`` stage
-  with a pluggable ``url -> html`` kernel (``fetch_pages``). requests /
-  selenium are absent in this container, so the default kernel is a
-  deterministic fake (hash-derived HTML); a real deployment passes
-  ``requests.get``-backed or webdriver-backed kernels for the static /
-  dynamic branches. Batch shape, schema, and error columns are real.
+  with a pluggable ``url -> html`` kernel (``fetch_pages``). ``requests``
+  IS importable here and ``requests_fetch_kernel`` below is the real
+  static-branch kernel (exercised against a localhost ``http.server``
+  fixture in ``tests/test_scrape.py`` — status codes, redirects,
+  per-row error capture, no external network); selenium is absent, so
+  the dynamic branch stays kernel-pluggable with the deterministic fake
+  as the offline default. Batch shape, schema, and error columns are
+  real either way.
   Politeness (per-domain rate limits) belongs in the kernel; partition
   by domain (``F.parse_url``-style projection) so one task owns one
   domain's budget.
@@ -53,6 +56,29 @@ def fake_fetch_kernel(url: str) -> str:
     if shape == 1:
         return f"<html><body><main>{body}</main><footer>f</footer></body></html>"
     return f"<html><body>{body}</body></html>"
+
+
+def requests_fetch_kernel(
+    timeout: float = 10.0, max_redirects: int = 5
+) -> Callable[[str], str]:
+    """The real static-scrape kernel (reference
+    ``scripts/core_components.py:45-58``): ``requests.get`` with a
+    bounded timeout, redirects followed up to ``max_redirects``, and
+    ``raise_for_status`` so HTTP errors surface as per-row
+    ``fetch_error`` values via ``fetch_pages``'s capture — one Session
+    per executor task (connection pooling / keep-alive within a
+    partition, the per-domain politeness unit)."""
+    import requests
+
+    session = requests.Session()
+    session.max_redirects = max_redirects
+
+    def kernel(url: str) -> str:
+        resp = session.get(url, timeout=timeout)
+        resp.raise_for_status()
+        return resp.text
+
+    return kernel
 
 
 def fetch_pages(

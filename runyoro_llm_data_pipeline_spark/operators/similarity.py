@@ -180,6 +180,15 @@ def _build_lsh_index_arrow(
     Python."""
     import numpy as np
 
+    if n_planes > 18:
+        # the signature is packed as n_planes decimal digits in an int64;
+        # 10**19 exceeds int64 and numpy wraps SILENTLY, so signatures
+        # would stop matching the expression path with no error raised
+        raise ValueError(
+            f"kernel='arrow' packs signatures as decimal digits in int64 "
+            f"and supports n_planes <= 18 (got {n_planes}); use the "
+            f"expression kernel for wider signatures"
+        )
     if dim is None:
         dim = infer_dim(embeddings, vec_col)
     planes = np.array(

@@ -238,17 +238,31 @@ def ngram_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def doc_term_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def doc_term_counts(
+    docs: DataFrame, text_col: str = "text", with_dl: bool = False
+) -> DataFrame:
     """(doc_id, term, tf) rows — the inverted-index build shared by
     tf-idf (and any downstream BM25-style scorer). Like ``doc_shingles``,
     materialize ONCE at scale and pass via ``tfidf_top_terms(..., tf=...)``:
     the declarative plan otherwise tokenizes and counts twice (once per
     side of the tf ⋈ df join — Catalyst re-derives rather than reuses the
-    shared subtree)."""
+    shared subtree).
+
+    ``with_dl=True`` folds the document length (total token count, =
+    sum(tf) over the doc's terms) into every row as a ``dl`` column —
+    build-time denormalization so a BM25 probe can score from the
+    filtered posting rows ALONE, never re-tokenizing the corpus at query
+    time to learn document lengths. One extra window sum at build, zero
+    extra shuffles at query."""
     toks = docs.select(
         "doc_id", F.explode(tokens_col(F.col(text_col))).alias("term")
     ).where(F.col("term") != "")
-    return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    if with_dl:
+        tf = tf.withColumn(
+            "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
+        )
+    return tf
 
 
 def tfidf_top_terms(
@@ -298,7 +312,7 @@ def tfidf_top_terms(
 
 
 def bm25_search(
-    docs: DataFrame,
+    docs: DataFrame | None,
     query: str,
     text_col: str = "text",
     k_top: int = 10,
@@ -307,6 +321,7 @@ def bm25_search(
     tf: DataFrame | None = None,
     n_docs: int | None = None,
     avgdl: float | None = None,
+    dl: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 ranked retrieval over the ``doc_term_counts`` inverted index —
     the lexical-search twin of the ANN operators (same serving economics:
@@ -318,6 +333,12 @@ def bm25_search(
     the per-doc score is one map-side-combinable sum + a global
     ``TakeOrderedAndProject`` top-k — no window, no global sort.
 
+    Document lengths are index-resident: when the supplied ``tf`` was
+    built with ``doc_term_counts(with_dl=True)`` the filtered posting
+    rows already carry ``dl`` and the query plan touches NOTHING but the
+    posting list; otherwise a stored ``dl=`` (doc_id, dl) side table is
+    joined (candidate-pruned — the posting side is the small side);
+    only as a last resort (ad-hoc use, no index) is ``docs`` re-tokenized.
     Corpus statistics (N, avgdl) are frozen as plan literals — one scalar
     aggregate each when not supplied; production computes them once per
     corpus snapshot alongside the index. Scores use the positive
@@ -330,17 +351,30 @@ def bm25_search(
     if not qterms:
         raise ValueError("empty query")
     if tf is None:
-        tf = doc_term_counts(docs, text_col)
+        if docs is None:
+            raise ValueError("need docs when no tf index is supplied")
+        tf = doc_term_counts(docs, text_col, with_dl=True)
     tfq = tf.where(F.col("term").isin(qterms))
     dfq = tfq.groupBy("term").agg(F.count("*").alias("df"))
-    nd = float(n_docs if n_docs is not None else docs.count())
+    if n_docs is None:
+        if docs is None:
+            raise ValueError("need docs or stored n_docs")
+        n_docs = docs.count()
+    nd = float(n_docs)
     if avgdl is None:
+        if docs is None:
+            raise ValueError("need docs or stored avgdl")
         avgdl = docs.agg(
             F.avg(token_count(F.col(text_col)))
         ).first()[0]
-    dl = docs.select(
-        "doc_id", token_count(F.col(text_col)).alias("dl")
-    )
+    if "dl" not in tfq.columns:
+        if dl is None:
+            if docs is None:
+                raise ValueError("need docs, dl=, or a with_dl tf index")
+            dl = docs.select(
+                "doc_id", token_count(F.col(text_col)).alias("dl")
+            )
+        tfq = tfq.join(dl, "doc_id")
     idf = F.log(
         (F.lit(nd) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
         + F.lit(1.0)
@@ -356,7 +390,6 @@ def bm25_search(
     )
     per_doc = (
         tfq.join(F.broadcast(dfq), "term")
-        .join(dl, "doc_id")
         .groupBy("doc_id")
         .agg(
             F.round(F.sum(contrib), 6).alias("score"),

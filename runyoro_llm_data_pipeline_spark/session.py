@@ -48,9 +48,15 @@ def get_spark(
         master = f"local[{cpus}]"
     if shuffle_partitions is None and under_spark_submit:
         # respect a launcher-provided --conf; fall through to our default
-        # (NOT Spark's 200) only when the operator set nothing
-        from pyspark import SparkConf
+        # (NOT Spark's 200) only when the operator set nothing. SparkConf
+        # reads the launcher's properties out of the JVM system
+        # properties, so the gateway must be ATTACHED first: with no live
+        # JVM, SparkConf() silently degrades to an empty local dict and
+        # the lookup always misses — the builder would then stomp the
+        # operator's --conf with our local default.
+        from pyspark import SparkConf, SparkContext
 
+        SparkContext._ensure_initialized()  # attaches the existing gateway
         submitted = SparkConf().get("spark.sql.shuffle.partitions", None)
         if submitted is not None:
             shuffle_partitions = int(submitted)

@@ -99,6 +99,11 @@ def test_spark_submit_py_files_separate_executor_jvms(
     rep = json.loads(out.stdout.strip().splitlines()[-1])
     assert rep["batches_applied"] == 2
     assert rep["keys_applied"] > 0
+    # the launcher's --conf must be the EFFECTIVE value inside the job:
+    # get_spark attaches the gateway before reading SparkConf, so the
+    # submitted shuffle-partitions setting is seen and never stomped by
+    # the local default
+    assert rep["shuffle_partitions"] == "4"
     # the submitted master must have survived get_spark (2 executor JVMs)
     from runyoro_llm_data_pipeline_spark.cdc.ingest import CdcIngest
 

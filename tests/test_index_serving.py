@@ -13,6 +13,7 @@ import pytest
 import __spark_entry__ as entrymod
 import runyoro_llm_data_pipeline_spark.operators.dedup as dd
 import runyoro_llm_data_pipeline_spark.operators.similarity as sim
+import runyoro_llm_data_pipeline_spark.operators.textstats as tx
 
 SF = "/root/testdata/sf0.001"
 
@@ -26,6 +27,10 @@ INDEX_FAMILY = [
     "dedup_cluster_keep_best",
     # probes the stored band index; only the incoming batch is hashed
     "incremental_near_dup",
+    # serve from the materialized (doc_id, term, tf, dl) posting table +
+    # stored (n_docs, avgdl); query time never re-tokenizes the corpus
+    "bm25_search",
+    "tfidf_top_terms",
 ]
 
 
@@ -52,6 +57,10 @@ def test_index_gates_never_rebuild_at_query_time(spark, warmed, monkeypatch):
     monkeypatch.setattr(dd, "dedup_clusters", _boom)
     monkeypatch.setattr(dd, "connected_components", _boom)
     monkeypatch.setattr(dd, "build_minhash_band_index", _boom)
+    # doc_term_counts is the corpus-wide posting-table build; token_count
+    # itself stays patchable-free — it is a per-row column helper other
+    # gates (cluster keep-best scoring) legitimately use at query time
+    monkeypatch.setattr(tx, "doc_term_counts", _boom)
 
     for name in INDEX_FAMILY:
         assert warmed[name](spark, SF).count() > 0

@@ -131,3 +131,76 @@ def test_resolve_redirects_kernel_and_errors(spark):
     assert rows["http://a.com/x"]["resolve_error"] is None
     assert rows["http://boom.com/y"]["final_url"] == "http://boom.com/y"
     assert "connection refused" in rows["http://boom.com/y"]["resolve_error"]
+
+
+def test_requests_kernel_against_localhost_http_server(spark):
+    """S7 through a REAL HTTP boundary (no external network): a stdlib
+    http.server on 127.0.0.1 serves pages, a redirect, and a 404;
+    ``requests_fetch_kernel`` (reference core_components.py:45-58) rides
+    ``fetch_pages``'s mapInPandas stage — success rows carry the body,
+    the redirect is followed transparently, and the 404 lands in
+    ``fetch_error`` instead of failing the task."""
+    import http.server
+    import threading
+
+    from runyoro_llm_data_pipeline_spark.operators.scrape import (
+        requests_fetch_kernel,
+    )
+
+    PAGE = (
+        "<html><body><article><p>served over real http</p></article>"
+        "</body></html>"
+    )
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/page":
+                body = PAGE.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/redirect":
+                self.send_response(301)
+                self.send_header("Location", "/page")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+            else:
+                self.send_error(404, "not found")
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        urls = spark.createDataFrame(
+            [(f"{base}/page",), (f"{base}/redirect",), (f"{base}/missing",)],
+            "url string",
+        )
+        got = {
+            r["url"]: r
+            for r in fetch_pages(
+                urls, kernel=requests_fetch_kernel(timeout=5.0)
+            ).collect()
+        }
+        assert got[f"{base}/page"]["html"] == PAGE
+        assert got[f"{base}/page"]["fetch_error"] is None
+        # 301 followed to /page — same body, no error
+        assert got[f"{base}/redirect"]["html"] == PAGE
+        assert got[f"{base}/redirect"]["fetch_error"] is None
+        # HTTP error captured per-row (raise_for_status → fetch_error)
+        assert got[f"{base}/missing"]["html"] is None
+        assert "404" in got[f"{base}/missing"]["fetch_error"]
+        # and the extract stage runs unchanged on the real fetch output
+        ok = fetch_pages(
+            urls.limit(1), kernel=requests_fetch_kernel(timeout=5.0)
+        ).select(scrape_text(F.col("html")).alias("t")).collect()[0]["t"]
+        assert ok == "served over real http"
+    finally:
+        srv.shutdown()
+        srv.server_close()
