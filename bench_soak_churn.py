@@ -16,10 +16,21 @@ machinery under the same steady-state churn, all in ONE long run:
   BOTH directions every round — convergence across rollbacks is the
   whole point;
 * ``maintain()`` (compact + ledger truncation + expiry + orphan cleanup)
-  runs as the one-call pass every round, as a cron would.
+  runs as the one-call pass every round, as a cron would;
+* every 6th round the table is **rebucketed** (32 ↔ 48) mid-churn — a
+  growing production table resizes online; ingest, rollback (which may
+  unwind a rebucket), feed, and maintenance must all keep converging
+  across the modulus change (round-4 VERDICT item 7);
+* one round replaces the single ingest with a **concurrent-writer race**:
+  two ingest launches on the same pending batch from two threads of the
+  same driver (the overlapping-cron shape the bounded optimistic-
+  concurrency retry in ``apply_batch`` exists for) — exactly one may
+  report 'applied', the loser must land on 'skipped' via conflict-retry,
+  and the loser's orphaned delta files must be swept by maintenance.
 
 PASS shape: zero convergence violations, resyncs exactly at the rollback
-rounds, bounded files/manifest/snapshot-dir, flat events/s.
+rounds, race round = 1 applied + rest skipped, bounded
+files/manifest/snapshot-dir, flat events/s.
 
 Usage:  python bench_soak_churn.py [rounds] [n_turns]
 Emits one JSON line:  {"metric": "soak_churn", "rounds": [...], "summary": {...}}
@@ -106,6 +117,9 @@ def main() -> None:
     feed = IncrementalFeed(table_dir, os.path.join(work, "feed_pos.json"))
 
     lsn_span = n_turns * 10 + 100 + max(n_turns // 20, 1) * 10 + 20
+    # the race round avoids rollback rounds (r % 4 == 3) and rebucket
+    # rounds (r % 6 == 4) so each mechanism is observed in isolation
+    race_round = int(os.environ.get("CHURN_RACE_ROUND", rounds // 2))
     out_rounds = []
     n_resyncs = 0
     violations = 0
@@ -129,7 +143,56 @@ def main() -> None:
 
         n_events = _footer_rows(os.path.join(log_dir, f"batch_{r:05d}"))
         t1 = time.perf_counter()
-        res = ing.run(spark)
+        race = None
+        if r == race_round:
+            # two ingest launches race on the same pending batch — each
+            # with its own CdcIngest/LakeTable instance, sharing only the
+            # table path (what two overlapping cron launches share). A
+            # barrier holds both until each has read the SAME pending
+            # view, so both enter apply_batch and exactly one must lose
+            # the pointer swap and land on 'skipped' via conflict-retry.
+            import threading
+
+            from runyoro_llm_data_pipeline_spark.cdc.apply import apply_batch
+
+            outcomes: list[list | None] = [None, None]
+            barrier = threading.Barrier(2)
+
+            def _racer(i: int) -> None:
+                rival = CdcIngest(table_dir, log_dir, num_buckets=32,
+                                  mode="mor", compact_max_files=8)
+                pend = rival.pending()
+                tbl = rival.table()
+                barrier.wait()
+                outcomes[i] = [
+                    apply_batch(spark, tbl, spark.read.parquet(p), b,
+                                mode="mor")
+                    for b, p in pend
+                ]
+
+            threads = [
+                threading.Thread(target=_racer, args=(i,)) for i in range(2)
+            ]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            flat = [x for rr in outcomes for x in (rr or [])]
+            applied = [x for x in flat if x["status"] == "applied"]
+            skipped = [x for x in flat if x["status"] != "applied"]
+            assert len(applied) == 1, (
+                f"round {r}: race must apply exactly once, got "
+                f"{[x['status'] for x in flat]}"
+            )
+            assert len(skipped) >= 1, (
+                f"round {r}: the racing rival must be conflict-skipped, "
+                f"got {[x['status'] for x in flat]}"
+            )
+            race = {"applied": 1, "skipped": len(skipped),
+                    "statuses": [x["status"] for x in flat]}
+            res = applied
+        else:
+            res = ing.run(spark)
         apply_sec = time.perf_counter() - t1
         assert len(res) == 1, f"round {r}: expected 1 batch, got {len(res)}"
 
@@ -150,6 +213,20 @@ def main() -> None:
             assert len(res2) == 1, f"round {r}: re-ingest got {len(res2)}"
             table.tag(f"r{r}")  # re-pin at the re-ingested state
             rolled_back = True
+
+        rebucketed = None
+        if r % 6 == 4:
+            # online resize mid-churn: 32 ↔ 48 (a data-only maintenance
+            # commit; the next ingest reloads the modulus from the
+            # snapshot, and a later rollback may unwind it — both paths
+            # must stay convergent)
+            t_rbk = time.perf_counter()
+            nb_new = 48 if table.num_buckets == 32 else 32
+            table.rebucket(spark, nb_new)
+            rebucketed = {
+                "num_buckets": nb_new,
+                "sec": round(time.perf_counter() - t_rbk, 2),
+            }
 
         t2 = time.perf_counter()
         # keep_last must exceed the per-round commit count (apply +
@@ -201,6 +278,9 @@ def main() -> None:
             "maintain": maint,
             "feed_sec": round(feed_sec, 2),
             "rolled_back": rolled_back,
+            "rebucketed": rebucketed,
+            "race": race,
+            "num_buckets": table.num_buckets,
             "was_resync": tok.was_resync,
             "replica_diff_rows": diff,
             "n_tags": len(table.tags()),
@@ -230,6 +310,13 @@ def main() -> None:
         # full-syncs, no missed rollbacks
         "resyncs_match_rollbacks": (
             set(resync_rounds) - {0} == set(rollback_rounds)
+        ),
+        "rebucket_rounds": [
+            x["round"] for x in out_rounds if x["rebucketed"]
+        ],
+        "race_round": race_round,
+        "race": next(
+            (x["race"] for x in out_rounds if x["race"]), None
         ),
         "max_files": max(x["files"] for x in out_rounds),
         "max_manifest_bytes": max(x["manifest_bytes"] for x in out_rounds),
